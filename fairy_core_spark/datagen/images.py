@@ -1,0 +1,186 @@
+"""Deterministic synthetic image+caption / geo / polygon tables
+(FIXTURES.md §B; the north-rule input shape from BASELINE.json:input_hint).
+
+Everything derives from sha256(image_id) — never wall-clock or RNG state —
+so goldens and benchmarks are reproducible across machines and runs, and
+generation is embarrassingly parallel: the table is built distributed with
+``spark.range(n)`` + ``mapInPandas`` (each partition synthesizes its own
+rows; nothing is collected on the driver), which is how a 10^9-row bench
+table would be produced on a real cluster.
+
+Schema (mandated): image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long. Geo companion: (image_id, lat, lon) with 10%% of
+rows remapped into 3 hotspot clusters (skew-handling exercise). Polygons:
+~100 regular k-gons + 2 large hotspot-covering polygons, broadcastable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from fairy_core_spark.functions.image_codec import encode_image
+from fairy_core_spark.functions.phash import phash64
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+GEO_SCHEMA = "image_id string, lat double, lon double"
+
+_FMTS = ("ppm", "png", "qnt")
+_SIZES = (32, 48, 64)
+_TOKENS = (
+    "harbor",
+    "granite",
+    "lantern",
+    "meadow",
+    "osprey",
+    "quarry",
+    "rivulet",
+    "saffron",
+    "tundra",
+    "verdant",
+)
+
+# fixed hotspot centers (lat, lon) — dense clusters for skew exercises
+HOTSPOTS = ((40.71, -74.01), (51.51, -0.13), (35.68, 139.69))
+
+
+def _unit_floats(image_id: str, n: int = 4) -> list[float]:
+    """n uniform floats in [0,1) from sha256(image_id)."""
+    d = hashlib.sha256(image_id.encode()).digest()
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n)]
+
+
+def make_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """w*h*3 uint8 gradient + per-image offset — reproducible, non-constant."""
+    d = hashlib.sha256(image_id.encode()).digest()
+    ox, oy, oc = d[0], d[1], d[2]
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1) + ox) % 256
+    g = (y * 255 // max(h - 1, 1) + oy) % 256
+    b = ((x + y) * 255 // max(w + h - 2, 1) + oc) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synth_image_row(i: int, dirty: str | None = None) -> dict:
+    """One deterministic row. Every 1000th row (i%1000==999) duplicates the
+    previous row's pixels under a new image_id (phash-dedup exercise).
+    ``dirty`` injects a validation defect (stage-1 golden variants)."""
+    image_id = f"img{i:010d}"
+    src_i = i - 1 if (i % 1000 == 999 and i > 0) else i
+    src_id = f"img{src_i:010d}"
+    w = _SIZES[src_i % len(_SIZES)]
+    h = _SIZES[(src_i // 3) % len(_SIZES)]
+    fmt = _FMTS[src_i % len(_FMTS)]
+    pixels = make_pixels(src_id, w, h)
+    data = encode_image(pixels, fmt)
+    ph = phash64(pixels)
+    toks = [_TOKENS[(src_i >> (3 * k)) % len(_TOKENS)] for k in range(3)]
+    caption = f"caption for {image_id}: " + " ".join(toks)
+    row = {
+        "image_id": image_id,
+        "bytes": bytearray(data),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+    if dirty == "null_caption":
+        row["caption"] = None
+    elif dirty == "dim_mismatch":
+        row["w"] = w + 1
+    elif dirty == "truncated":
+        row["bytes"] = bytearray(data[: len(data) // 2])
+    elif dirty == "bad_fmt":
+        row["fmt"] = "jpeg"
+    return row
+
+
+def geo_for(image_id: str) -> tuple[float, float]:
+    """Deterministic lat/lon; 10% of ids remapped into hotspot clusters."""
+    u1, u2, u3, u4 = _unit_floats(image_id)
+    if u3 < 0.10:
+        clat, clon = HOTSPOTS[int(u4 * len(HOTSPOTS)) % len(HOTSPOTS)]
+        return clat + (u1 - 0.5) * 0.2, clon + (u2 - 0.5) * 0.2
+    return -60.0 + 120.0 * u1, -180.0 + 360.0 * u2
+
+
+def images_df(
+    spark: SparkSession, n: int, partitions: int | None = None, dirty_every: int | None = None
+) -> DataFrame:
+    """Distributed synthesis of the image table (no driver materialization)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                dirty = None
+                if dirty_every and i % dirty_every == dirty_every - 1:
+                    dirty = ("null_caption", "dim_mismatch", "truncated", "bad_fmt")[
+                        (i // dirty_every) % 4
+                    ]
+                rows.append(synth_image_row(int(i), dirty))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+def geo_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n, 1, parts)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [f"img{int(i):010d}" for i in pdf["id"].tolist()]
+            lat, lon = zip(*(geo_for(x) for x in ids)) if ids else ((), ())
+            yield pd.DataFrame({"image_id": ids, "lat": lat, "lon": lon})
+
+    return base.mapInPandas(gen, schema=GEO_SCHEMA)
+
+
+def polygons_pdf(n: int = 100) -> pd.DataFrame:
+    """Deterministic polygon set as a pandas frame (small, broadcastable):
+    regular k-gons (k in [4,9]) on a fixed grid + 2 large hotspot polygons.
+    Rings are closed (first point repeated last), counter-clockwise."""
+    rows = []
+    for p in range(n):
+        k = 4 + p % 6
+        gx, gy = p % 10, p // 10
+        clat = -50.0 + 10.0 * gy + (p % 3)
+        clon = -170.0 + 34.0 * gx + (p % 5)
+        radius = 0.5 + 2.5 * ((p * 2654435761 % 1000) / 1000.0)
+        ang = 2 * np.pi * np.arange(k) / k + (p % 7) * 0.1
+        ring = [
+            {"lat": float(clat + radius * np.sin(a)), "lon": float(clon + radius * np.cos(a))}
+            for a in ang
+        ]
+        ring.append(ring[0])
+        rows.append({"polygon_id": f"poly{p:04d}", "ring": ring})
+    for j, (clat, clon) in enumerate(HOTSPOTS[:2]):
+        k, radius = 8, 1.5
+        ang = 2 * np.pi * np.arange(k) / k
+        ring = [
+            {"lat": float(clat + radius * np.sin(a)), "lon": float(clon + radius * np.cos(a))}
+            for a in ang
+        ]
+        ring.append(ring[0])
+        rows.append({"polygon_id": f"hotspot{j}", "ring": ring})
+    return pd.DataFrame(rows)
+
+
+def polygons_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    schema = "polygon_id string, ring array<struct<lat:double, lon:double>>"
+    pdf = polygons_pdf(n)
+    rows = [
+        (r["polygon_id"], [(pt["lat"], pt["lon"]) for pt in r["ring"]])
+        for _, r in pdf.iterrows()
+    ]
+    return spark.createDataFrame(rows, schema=schema)

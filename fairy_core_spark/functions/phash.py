@@ -1,0 +1,90 @@
+"""64-bit DCT perceptual hash, pure numpy (north-rule op, SURVEY.md §2.6).
+
+Published pHash recipe: grayscale -> resize 32x32 (area mean-pool) ->
+2D DCT-II -> top-left 8x8 low-frequency block -> bit i set iff coeff >
+median(block). This module is the engine's *definition* of phash: the data
+generator, the integrity rule (recompute-vs-stored) and the dedup operators
+all share it.
+
+Everything is batched: ``phash_batch`` hashes N images with two matrix
+multiplies per image size group — no per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] *= np.sqrt(0.5)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def _to_gray_32(pixels: np.ndarray) -> np.ndarray:
+    """uint8 HxWx3 -> float64 32x32 grayscale via BT.601 luma + area pooling
+    (exact mean over h/32 x w/32 blocks when divisible; nearest-resample
+    first otherwise)."""
+    h, w, _ = pixels.shape
+    gray = pixels @ np.array([0.299, 0.587, 0.114])
+    if h % 32 or w % 32:
+        yi = (np.arange(32) * h // 32).clip(0, h - 1)
+        xi = (np.arange(32) * w // 32).clip(0, w - 1)
+        return gray[np.ix_(yi, xi)]
+    return gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Perceptual hash of one uint8 HxWx3 image -> signed 64-bit int
+    (LongType-safe: bit 63 is the sign bit)."""
+    g = _to_gray_32(pixels)
+    d = _dct_matrix(32)
+    coeffs = d @ g @ d.T
+    block = coeffs[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into int64 range
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_batch(images: list[np.ndarray | None]) -> np.ndarray:
+    """Hash a batch; None (undecodable) -> 0. Returns int64 array."""
+    out = np.zeros(len(images), dtype=np.int64)
+    for i, im in enumerate(images):
+        if im is not None:
+            out[i] = phash64(im)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between int64 hash arrays."""
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64)).view(np.uint64)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def band_keys(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """Split 64-bit hashes into ``n_bands`` contiguous bands for LSH-style
+    near-dup candidate generation: two hashes within Hamming distance
+    ``n_bands - 1`` share at least one full band (pigeonhole). Returns
+    (len, n_bands) int64 array of band values tagged with the band index."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    u = phash.astype(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((len(phash), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        band = (u >> np.uint64(b * width)) & mask
+        out[:, b] = (band | (np.uint64(b) << np.uint64(width))).astype(np.int64)
+    return out

@@ -1,0 +1,176 @@
+"""Table layer + stable row identity.
+
+The reference reads whole CSV/TSV files into pandas and uses the pandas row
+index (1-based in reports) as the evidence currency
+(``rulepack_runner.py:94-101,308-309``). Spark has no implicit row order, so
+row identity is minted explicitly at ingest and carried through every
+operator — a load-bearing design decision (SURVEY.md §1.2).
+
+Two strategies:
+
+- ``with_row_id_by_order(df, *cols)``: ``row_number()`` over a total order.
+  Exact file-order parity for fixture goldens and small/medium tables; a
+  global sort at scale, so use only when the reference's 1-based file order
+  must be reproduced bit-for-bit.
+- ``with_row_id_ingest(df)``: deterministic two-pass partition-offset ids
+  (the zipWithIndex idea expressed DataFrame-side): pass 1 counts rows per
+  input partition, pass 2 adds ``offset[pid] + local_index``. No global
+  sort, no skew, O(1) extra memory per task — the scale path. Ids are stable
+  for a fixed table snapshot (fixed file set + split config), which the
+  snapshot fingerprint pins.
+
+Storage: an Iceberg-shaped interface with a parquet-directory implementation
+(no Iceberg runtime jar in this sandbox). ``ParquetDirCatalog`` adds the two
+Iceberg semantics the engine needs: a snapshot manifest (checkpoint/resume
+identity) and partition listing (lineage). Swapping in real Iceberg is a
+config change (``spark.sql.catalog...`` + ``spark.table``), not a code change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fairy_core_spark.plans.provenance import table_fingerprint
+
+ROW_ID = "__row_id"
+
+
+def with_row_id_by_order(df: DataFrame, *order_cols: str) -> DataFrame:
+    """1-based row ids by total order over ``order_cols`` (ties broken by
+    all remaining columns for determinism)."""
+    cols = list(order_cols) or df.columns
+    tie = [c for c in df.columns if c not in cols]
+    w = Window.orderBy(*[F.col(c) for c in cols + tie])
+    return df.withColumn(ROW_ID, F.row_number().over(w).cast("long"))
+
+
+def with_row_id_ingest(df: DataFrame) -> DataFrame:
+    """1-based row ids via partition-offset assignment (no global sort).
+
+    Deterministic for a fixed snapshot: Spark assigns input-split partitions
+    in (file, byte-offset) order, and row order within a split is the file
+    order. Two jobs: a count per partition, then the main pass.
+    """
+    pid_df = df.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        pid_df.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # tiny: one row per partition
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(pid_df.schema.fields) + [StructField(ROW_ID, LongType())])
+    off = offsets  # plain dict, small, captured by closure
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = local.get(pid, off.get(pid, 0))
+            pdf[ROW_ID] = range(start + 1, start + 1 + len(pdf))
+            local[pid] = start + len(pdf)
+            yield pdf
+
+    return pid_df.mapInPandas(assign, schema=out_schema).drop("__pid")
+
+
+def read_input(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    row_id: bool = False,
+) -> DataFrame:
+    """Read one named input. CSV/TSV reproduce the reference's string-first
+    contract: every column string, empty strings preserved, separator by
+    suffix (``rulepack_runner.py:87-101``)."""
+    fmt = fmt or ("parquet" if path.endswith(".parquet") else None)
+    if fmt is None:
+        fmt = "tsv" if path.endswith((".tsv", ".tab")) else "csv"
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        sep = "\t" if fmt == "tsv" else ","
+        df = (
+            spark.read.option("header", "true")
+            .option("sep", sep)
+            .option("inferSchema", "false")  # all-string, like dtype=str
+            .option("nullValue", None)  # keep "" as "", like keep_default_na=False
+            .csv(path)
+        )
+        df = df.select([F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns])
+    if row_id:
+        # partition-offset ids = the file's line order (the reference's
+        # 1-based pandas index), with no global sort
+        df = with_row_id_ingest(df)
+    return df
+
+
+class ParquetDirCatalog:
+    """Minimal Iceberg-shaped catalog over a directory of parquet tables.
+
+    ``root/<table>/data/*.parquet`` + ``root/<table>/_snapshot.json``
+    (fingerprint, row count, partition columns). The fingerprint is the
+    stand-in for an Iceberg snapshot id — same contract: a stable string per
+    immutable table state, used for attestation and checkpoint-resume.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(name), "_snapshot.json"))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(name), "data"))
+
+    def snapshot(self, name: str) -> dict:
+        with open(os.path.join(self._dir(name), "_snapshot.json")) as f:
+            return json.load(f)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        d = self._dir(name)
+        data_dir = os.path.join(d, "data")
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        snap = {
+            "table": name,
+            "snapshot_id": table_fingerprint(data_dir),
+            "partition_by": partition_by or [],
+        }
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_snapshot.json"), "w") as f:
+            json.dump(snap, f, sort_keys=True, indent=2)
+        return snap
+
+    def partitions(self, name: str) -> list[str]:
+        """Partition directory listing (lineage granularity)."""
+        data_dir = os.path.join(self._dir(name), "data")
+        out = []
+        for root, dirs, _files in os.walk(data_dir):
+            for dn in dirs:
+                if "=" in dn:
+                    out.append(os.path.relpath(os.path.join(root, dn), data_dir))
+        return sorted(out)

@@ -1,0 +1,91 @@
+"""Dev-time golden generator (run in the build sandbox only).
+
+Runs the *reference* engine (read-only at /root/reference) on this repo's own
+fixtures and freezes normalized reports under tests/golden/. The committed
+test suite compares the Spark engine against these frozen goldens and never
+imports the reference — the goldens pin the reference's semantics
+(SURVEY.md §5 "fixture parity goldens").
+
+Usage: python scripts/gen_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REF_SRC = Path(os.environ.get("FAIRY_REFERENCE_SRC", "/root/reference/src"))
+
+sys.path.insert(0, str(REF_SRC))
+
+from fairy.validation.rulepack_runner import run_rulepack  # noqa: E402
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+FIX = REPO / "tests" / "fixtures"
+GOLD = REPO / "tests" / "golden"
+
+VOLATILE_ATTESTATION_KEYS = {"core_version", "fairy_core_version", "timestamp", "dataset_id"}
+
+
+def normalize(report: dict) -> dict:
+    """Strip engine-identity keys (same idea as reference tests/helpers.py:6-14)."""
+    out = json.loads(json.dumps(report))
+    out.pop("engine", None)
+    att = out.get("attestation", {})
+    for k in VOLATILE_ATTESTATION_KEYS:
+        att.pop(k, None)
+    att["rulepack"] = {k: v for k, v in att.get("rulepack", {}).items() if k != "path"}
+    att.pop("rulepack_source_path", None)
+    # paths vary by checkout; keep basenames only
+    for inp in att.get("inputs", []):
+        inp["path"] = os.path.basename(inp["path"])
+    for res in out.get("resources", []):
+        res["path"] = os.path.basename(res["path"])
+    md = out.get("metadata", {})
+    if "inputs" in md:
+        md["inputs"] = {k: os.path.basename(v) for k, v in md["inputs"].items()}
+    return out
+
+
+def load_rp(path: Path) -> dict:
+    if path.suffix == ".json":
+        return json.loads(path.read_text())
+    return yaml.safe_load(path.read_text())
+
+
+CASES = {
+    "penguins": (
+        {"penguins_small": FIX / "penguins_small.csv"},
+        FIX / "rulepacks" / "penguins.yml",
+    ),
+    "art": (
+        {"artworks": FIX / "artworks_fail.csv", "artists": FIX / "artists.csv"},
+        FIX / "rulepacks" / "art.yaml",
+    ),
+    "regex_demo": (
+        {"regex_demo": FIX / "regex_demo.csv"},
+        FIX / "rulepacks" / "regex_demo.yaml",
+    ),
+}
+
+
+def main() -> None:
+    GOLD.mkdir(parents=True, exist_ok=True)
+    for name, (inputs, rp_path) in CASES.items():
+        rp = load_rp(rp_path)
+        report = run_rulepack(inputs, rp, rp_path, "1970-01-01T00:00:00Z")
+        norm = normalize(report)
+        out = GOLD / f"{name}.report.json"
+        out.write_text(json.dumps(norm, indent=2, sort_keys=True) + "\n")
+        print(f"wrote {out}  summary={norm['summary']}")
+
+
+if __name__ == "__main__":
+    main()

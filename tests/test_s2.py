@@ -1,0 +1,95 @@
+"""S2 cell index unit goldens (SURVEY.md §5 item 3): roundtrip, hierarchy,
+known anchors, neighbor symmetry, metric bound sanity. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fairy_core_spark.spatial import s2
+
+
+def _hav_m(lat1, lon1, lat2, lon2):
+    a1, o1, a2, o2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    return (
+        2
+        * 6371000.0
+        * np.arcsin(
+            np.sqrt(
+                np.sin((a2 - a1) / 2) ** 2 + np.cos(a1) * np.cos(a2) * np.sin((o2 - o1) / 2) ** 2
+            )
+        )
+    )
+
+
+def _rand(n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-89.9, 89.9, n), rng.uniform(-180, 180, n)
+
+
+def test_leaf_roundtrip_exact():
+    lat, lon = _rand()
+    ids = s2.cell_id(lat, lon, 30)
+    clat, clon = s2.cell_center_latlon(ids)
+    assert (s2.cell_id(clat, clon, 30) == ids).all()
+    assert _hav_m(lat, lon, clat, clon).max() < 0.02  # leaf ~ cm
+
+
+def test_levels_and_parents():
+    lat, lon = _rand()
+    leaf = s2.cell_id(lat, lon, 30)
+    for lvl in (0, 5, 12, 20):
+        p = s2.cell_id(lat, lon, lvl)
+        assert set(s2.cell_level(p).tolist()) == {lvl}
+        assert (s2.parent(leaf, lvl) == p).all()
+
+
+def test_known_anchors():
+    # equator/prime-meridian is the center of face 0; poles on faces 2 and 5
+    # (face-5 ids have the uint64 top bit set -> negative as int64)
+    assert s2.cell_id(np.array([0.0]), np.array([0.0]), 0)[0] == (1 << 60)
+    assert s2.cell_id(np.array([90.0]), np.array([0.0]), 0)[0] == (2 << 61) + (1 << 60)
+    assert s2.cell_id(np.array([-90.0]), np.array([0.0]), 0)[0] == np.int64(
+        np.uint64((5 << 61) + (1 << 60))
+    )
+    # every id decodes to a face in [0, 6)
+    lat, lon = _rand(500)
+    face, _i, _j = s2.to_face_ij(s2.cell_id(lat, lon, 12))
+    assert ((face >= 0) & (face < 6)).all()
+
+
+def test_cell_containment_center():
+    lat, lon = _rand()
+    for lvl in (4, 12, 16):
+        c = s2.cell_id(lat, lon, lvl)
+        assert (s2.cell_id(*s2.cell_center_latlon(c), lvl) == c).all()
+
+
+def test_neighbors_symmetric_and_distinct():
+    lat, lon = _rand(300)
+    ids = s2.cell_id(lat, lon, 12)
+    nb = s2.neighbors(ids, 12)
+    assert nb.shape == (300, 8)
+    for r in range(0, 300, 17):
+        assert len(set(nb[r].tolist())) == 8
+        for c in nb[r]:
+            assert ids[r] in s2.neighbors(np.array([c]), 12)[0]
+
+
+def test_min_width_bound_holds():
+    # adjacent cell centers must be at least min_width apart
+    lat, lon = _rand(200)
+    lvl = 10
+    ids = s2.cell_id(lat, lon, lvl)
+    nb = s2.neighbors(ids, lvl)
+    clat, clon = s2.cell_center_latlon(ids)
+    for col in range(8):
+        nlat, nlon = s2.cell_center_latlon(nb[:, col])
+        d_rad = _hav_m(clat, clon, nlat, nlon) / 6371000.0
+        assert (d_rad >= s2.min_width_rad(lvl) * 0.99).all()
+
+
+def test_locality_same_cell_for_close_points():
+    lat = np.array([40.7128, 40.7129])
+    lon = np.array([-74.0060, -74.0061])
+    a, b = s2.cell_id(lat, lon, 12)
+    assert a == b
