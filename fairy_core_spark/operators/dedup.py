@@ -1,0 +1,302 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each expressed Spark-first:
+
+- **exact**: md5/xxhash groupBy — one shuffle on the content hash; the
+  keep-first rule reuses the engine's dup semantics (min row id / doc id).
+- **MinHash + LSH**: shingle -> xxhash64 -> k permutations ((a*h+b) mod p)
+  -> band buckets -> candidate pairs via a self-equi-join on (band, value).
+  Entirely native Column expressions (array transforms), no Python.
+- **SimHash**: 64-bit sign-aggregated token hashes, Arrow pandas_udf
+  (numpy); near-dups via Hamming<=k on banded self-join.
+- **n-gram Jaccard**: blocked pairwise token-set Jaccard — native
+  array_intersect/array_distinct; block key bounds the pair blow-up.
+- **embedding cosine**: near-dup pairs above a cosine threshold, blocked by
+  an LSH sign-bucket (random-hyperplane) key.
+
+Scale notes: every family is (project) -> (equi-join/groupBy on a bounded
+key) -> (filter). Candidate generation never cross-joins: LSH bands /
+blocks bound pair counts; skewed bands are AQE-splittable. At 10^12 rows
+the only tunables are n_bands/rows-per-band and block key cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fairy_core_spark.operators.text import tokens
+
+# deterministic permutation constants (published MinHash affine scheme).
+# 31-bit Mersenne prime: products a*h stay < 2^62, safe under ANSI int64
+# arithmetic (no overflow), and 2^31 hash space is ample for minhashing.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _MERSENNE_P)), int(rng.integers(0, _MERSENNE_P))) for _ in range(k)
+    ]
+
+
+def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical content: (content_hash, n, keeper_id).
+    One map-side-combinable groupBy; at 100 TB hash first so the shuffle
+    carries 16 bytes, not documents."""
+    h = F.md5(F.col(content_col).cast("string")).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keeper_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """word n-gram shingle array (distinct) from a text column — native:
+    slide over the token array with transform+slice."""
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+
+def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
+    """array<long> of num_perm minhash values, fully native."""
+    hs = F.transform(shingles(col, shingle_n), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+
+    def _affine(a: int, b: int):
+        # closure factory: HOF lambdas must take exactly one parameter
+        return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_P
+
+    sigs = [F.array_min(F.transform(hs, _affine(a, b))) for a, b in _perm_params(num_perm)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+    rows-per-band = num_perm/n_bands; similarity threshold ~ (1/b)^(1/r)."""
+    assert num_perm % n_bands == 0
+    r = num_perm // n_bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
+                            ),
+                            "_",
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(col_name: str, out_name: str = "simhash"):
+    """64-bit SimHash over whitespace tokens (Arrow pandas_udf, numpy):
+    bit k of the hash is the sign of sum over tokens of (+1/-1) for token-
+    hash bit k. Token hash = FNV-1a 64 (self-contained, no JVM dependency)."""
+    from pyspark.sql.types import LongType
+
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_PRIME = np.uint64(1099511628211)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _fnv(tok: str) -> np.uint64:
+        h = FNV_OFF
+        for byte in tok.encode("utf-8"):
+            h = ((h ^ np.uint64(byte)) * FNV_PRIME) & MASK
+        return h
+
+    @F.pandas_udf(LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")  # uint64 wrap-around is the hash definition
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            toks = txt.split()
+            if not toks:
+                continue
+            hs = np.fromiter((_fnv(t) for t in toks), dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            v = np.uint64(0)
+            for k in np.nonzero(acc > 0)[0]:
+                v |= np.uint64(1) << np.uint64(k)
+            out[i] = np.int64(v.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash(F.col(col_name)).alias(out_name)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard: pairs within the same block with
+    jaccard >= threshold. Native arrays; the block key is the scale lever
+    (e.g. a domain/source/LSH bucket at 100 TB, never a cross join)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"), toks.alias("toks")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by a random-
+    hyperplane sign bucket (vectors this similar almost surely share the
+    bucket; bucket count 2^n_planes bounds the self-join)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = dim or (first["d"] if first else 0)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, d))
+
+    def dot_expr(vec: Column, w: Sequence[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in w]),
+                lambda v, p: v.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for k in range(n_planes):
+        bit = (dot_expr(F.col(vec_col), planes[k]) > 0).cast("int")
+        bucket = bit if bucket is None else bucket * 2 + bit
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        bucket.alias("bucket"),
+        norm.alias("norm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def phash_exact_dups(df: DataFrame, phash_col: str = "phash", id_col: str = "image_id") -> DataFrame:
+    """Exact perceptual-hash duplicate groups (keep-first by id)."""
+    return (
+        df.groupBy(F.col(phash_col).alias("phash"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+def phash_near_dups(
+    df: DataFrame, phash_col: str = "phash", id_col: str = "image_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs by phash Hamming <= k via 4x16-bit band
+    self-join (pigeonhole guarantees recall for k <= 3) + exact popcount
+    refine (native bit ops)."""
+    bands = []
+    for b in range(4):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+        )
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("ph"), F.explode(F.array(*bands)).alias("bk")
+    ).select("id", "ph", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+    ham = F.bit_count(xor)
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

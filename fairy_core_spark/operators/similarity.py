@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors for a query set via
+  broadcast query-side cross join + window rank. The correctness baseline;
+  at scale use it only for small query sets (queries broadcast, one pass
+  over the corpus, no corpus shuffle).
+- ``ivf_topk``: the scale path — corpus bucketed by nearest of C coarse
+  centroids (IVF); queries probe ``n_probe`` nearest centroid buckets, an
+  equi-join on bucket id replaces the cross join. Exactness degrades
+  gracefully with n_probe (recall tested against the brute-force oracle).
+
+Cosine math is native Column expressions (zip_with + aggregate, JVM-side);
+similarities are rounded before ranking so ordering is reproducible across
+engines (driver's DuckDB oracle comparison).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine, rank), self-matches
+    excluded. Query side is broadcast; ranking ties broken by neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        round_dp,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, seed: int = 11,
+                    iters: int = 3) -> np.ndarray:
+    """Tiny driver-side k-means on a bounded sample (Lloyd iterations in
+    numpy). The sample is capped — at 10^12 rows this still reads one
+    sampled pass, never the full corpus onto the driver."""
+    sample = (
+        corpus.select(vec_col)
+        .sample(False, 1.0, seed)
+        .limit(max(2000, 50 * n_centroids))
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            pts = x[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
+def _nearest_buckets_expr(vec: Column, centroids: np.ndarray, n: int) -> Column:
+    """array of the n nearest centroid indices (native exprs: per-centroid
+    squared distance, sort the (dist, idx) struct array, slice)."""
+    structs = []
+    for j, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(dist.alias("d"), F.lit(j).alias("idx")))
+    ordered = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["idx"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_dp: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-bucketed ANN: corpus assigned to its nearest centroid bucket
+    (one pass), queries explode to n_probe buckets, equi-join on bucket.
+    The join is shuffle-partitioned by bucket id — hot buckets split by AQE."""
+    cent = centroids if centroids is not None else train_centroids(corpus, vec_col, n_centroids)
+    c_bucket = _nearest_buckets_expr(F.col(vec_col), cent, 1)[0]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), c_bucket.alias("bucket")
+    )
+    q_buckets = _nearest_buckets_expr(F.col(vec_col), cent, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(q_buckets).alias("bucket"),
+    )
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        round_dp,
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()  # a neighbor can appear via multiple probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

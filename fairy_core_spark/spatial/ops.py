@@ -1,0 +1,323 @@
+"""Spark spatial operators: S2 encode, point-in-polygon joins, grid kNN,
+raster<->vector tiling (north-rule ops — SURVEY.md §2.6; no reference impl,
+semantics pinned there).
+
+Physical strategy notes (the 100 TB story):
+
+- **encode**: one Arrow pandas_udf projection, no shuffle.
+- **PIP broadcast join**: polygons -> BBoxGridIndex, serialized once and
+  shipped inside the UDF closure (Spark broadcasts task binaries); the
+  points table is scanned once, no shuffle at all. This is the right plan
+  whenever the polygon set fits in executor memory (it's the north rule's
+  "ray-casting PIP against broadcast R-tree indexes").
+- **PIP cell join**: the non-broadcast fallback: polygons explode to
+  covering cells (driver-side numpy over the *small* polygon table), points
+  carry their cell — a plain equi-join on cell (shuffle partitioned by
+  cell, AQE-skew-splittable) + exact refine. Output deduped on
+  (point_id, polygon_id) because a polygon covers many cells.
+- **kNN**: grid join at a density-chosen level + cell-ring expansion with a
+  guaranteed-correct stop (ring r covers >= r * min_width radians), then
+  window top-k. Every round is an equi-join on cell — never a cross join.
+- **tiling**: encode at tile level -> repartition by cell prefix (explicit,
+  per the north rule) -> per-tile aggregates + partitioned write.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from fairy_core_spark.functions.geometry import BBoxGridIndex, haversine_m
+from fairy_core_spark.spatial import s2
+
+TILE_LEVEL = 12  # H3 res-7 equivalent (avg cell area ~5.1 km^2)
+
+
+def cell_udf(level: int):
+    """(lat, lon) -> S2 cell id at level, Arrow-batched."""
+
+    @F.pandas_udf(LongType())
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level))
+
+    return _enc
+
+
+def with_cell(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
+              level: int = TILE_LEVEL, out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_udf(level)(F.col(lat_col), F.col(lon_col)))
+
+
+def _rings_dict(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    out = {}
+    for _, r in polygons_pdf.iterrows():
+        ring = np.array([[p["lat"], p["lon"]] for p in r["ring"]], dtype=np.float64)
+        out[r["polygon_id"]] = ring
+    return out
+
+
+def spatial_join_broadcast(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(point_id, polygon_id) containment pairs; zero-shuffle broadcast plan."""
+    index = BBoxGridIndex(_rings_dict(polygons_pdf))
+    schema = f"{id_col} string, polygon_id string"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lat = pdf[lat_col].to_numpy(np.float64)
+            lon = pdf[lon_col].to_numpy(np.float64)
+            pairs = index.contains_batch(lat, lon)
+            if not pairs:
+                continue
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {id_col: [ids[i] for i, _ in pairs], "polygon_id": [p for _, p in pairs]}
+            )
+
+    return points.select(id_col, lat_col, lon_col).mapInPandas(run, schema=schema)
+
+
+def spatial_join_cells(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = 8,
+) -> DataFrame:
+    """Equi-join-on-cell + exact-refine plan (the at-scale fallback when
+    polygons don't broadcast). Returns the same row set as the broadcast
+    plan (tested equal)."""
+    from fairy_core_spark.functions.geometry import polygon_covering_cells
+
+    spark = points.sparkSession
+    rings = _rings_dict(polygons_pdf)
+    cover_rows = []
+    for pid, ring in rings.items():
+        for c in polygon_covering_cells(ring, level):
+            cover_rows.append((int(c), pid))
+    cover = spark.createDataFrame(cover_rows, schema="cell long, polygon_id string")
+
+    pts = with_cell(points.select(id_col, lat_col, lon_col), lat_col, lon_col, level)
+    cand = pts.join(F.broadcast(cover), "cell").drop("cell")
+
+    # exact refine per candidate pair (bbox + ray cast inside an Arrow UDF)
+    index = BBoxGridIndex(rings)
+    ring_by_id = {pid: i for i, pid in enumerate(index.ids)}
+    schema = f"{id_col} string, polygon_id string"
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            lon = pdf[lon_col].to_numpy(np.float64)
+            for pid, grp in pdf.groupby("polygon_id"):
+                idx = grp.index.to_numpy()
+                pos = pdf.index.get_indexer(idx)
+                from fairy_core_spark.functions.geometry import point_in_ring
+
+                keep[pos] = point_in_ring(lat[pos], lon[pos], index.rings[ring_by_id[pid]])
+            out = pdf.loc[keep, [id_col, "polygon_id"]]
+            if len(out):
+                yield out
+
+    return cand.mapInPandas(refine, schema=schema).dropDuplicates([id_col, "polygon_id"])
+
+
+def choose_knn_level(n_points: int, k: int) -> int:
+    """Density-adaptive grid level: coarse enough that an average cell
+    holds >= ~2k points, so ring-0/1 usually resolves. 6*4^L cells cover
+    the sphere -> L = log4(n / (12k))."""
+    import math
+
+    target = max(n_points / (12.0 * max(k, 1)), 1.0)
+    return max(0, min(16, int(math.log(target, 4))))
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int | None = None,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Grid-partitioned kNN with cell-ring expansion (north-rule op).
+
+    Round r joins still-unresolved queries against candidates in their
+    ring-<=r cell neighborhood (equi-join on cell — never a cross join).
+    A query resolves when its kth-best distance <= r * min_width(level):
+    any unexplored point is at least r cell-widths away, so the top-k is
+    final (exact). Queries still unresolved after ``max_rounds`` fall back
+    to a brute-force join (guaranteed exactness; with the density-adaptive
+    level this is a vanishing fraction). Output: (query_id, neighbor_id,
+    distance_m, rank) — exact kNN, ties broken by neighbor id.
+    """
+    if level is None:
+        level = choose_knn_level(points.count(), k)
+    pts = (
+        with_cell(points.select(F.col(id_col).alias("nid"), lat_col, lon_col),
+                  lat_col, lon_col, level)
+        .withColumnRenamed(lat_col, "nlat")
+        .withColumnRenamed(lon_col, "nlon")
+        .cache()
+    )
+    q0 = (
+        with_cell(queries.select(F.col(query_id_col).alias("qid"), lat_col, lon_col),
+                  lat_col, lon_col, level)
+        .withColumnRenamed(lat_col, "qlat")
+        .withColumnRenamed(lon_col, "qlon")
+        .cache()
+    )
+
+    min_width_m = s2.min_width_rad(level) * 6371000.0
+    lvl = level
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(cell: pd.Series, r: pd.Series) -> pd.Series:
+        """cells at Chebyshev ring exactly r (r=0 -> the cell itself)."""
+        out = []
+        for c, rr in zip(cell.to_numpy(np.int64), r.to_numpy()):
+            if rr == 0:
+                out.append([int(c)])
+                continue
+            frontier = {int(c)}
+            seen = {int(c)}
+            for _ in range(int(rr)):
+                nxt = set()
+                arr = np.array(sorted(frontier), dtype=np.int64)
+                for row in s2.neighbors(arr, lvl):
+                    nxt.update(int(x) for x in row)
+                frontier = nxt - seen
+                seen |= nxt
+            out.append(sorted(frontier))
+        return pd.Series(out)
+
+    dist = haversine_udf()
+    w = Window.partitionBy("qid").orderBy(F.asc("distance_m"), F.asc("nid"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return cand.withColumn(
+            "distance_m", dist(F.col("qlat"), F.col("qlon"), F.col("nlat"), F.col("nlon"))
+        ).select("qid", "nid", "distance_m")
+
+    unresolved = q0
+    results = None
+    for r in range(max_rounds + 1):
+        ring = unresolved.withColumn("cells", ring_cells(F.col("cell"), F.lit(r)))
+        cand = (
+            ring.select("qid", "qlat", "qlon", F.explode("cells").alias("cell"))
+            .join(pts, "cell")
+        )
+        batch = score(cand)
+        results = batch if results is None else results.unionByName(batch)
+        results = results.dropDuplicates(["qid", "nid"]).localCheckpoint(eager=False)
+
+        # resolved iff k found AND kth distance inside the ring-r guarantee
+        guaranteed = r * min_width_m
+        kth = (
+            results.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("distance_m").alias("dk"))
+        )
+        resolved_ids = kth.where((F.col("n") >= k) & (F.col("dk") <= F.lit(guaranteed)))
+        unresolved = unresolved.join(resolved_ids.select("qid"), "qid", "left_anti")
+        if unresolved.isEmpty():
+            unresolved = None
+            break
+
+    if unresolved is not None and not unresolved.isEmpty():
+        # exact fallback for the stragglers (tiny after adaptive leveling)
+        brute = score(unresolved.select("qid", "qlat", "qlon").crossJoin(pts))
+        results = results.unionByName(brute).dropDuplicates(["qid", "nid"])
+
+    final = (
+        results.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("nid").alias("neighbor_id"),
+            F.round("distance_m", 3).alias("distance_m"),
+            "rank",
+        )
+    )
+    return final
+
+
+def haversine_udf():
+    @F.pandas_udf("double")
+    def _hav(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        return pd.Series(
+            haversine_m(
+                lat1.to_numpy(np.float64),
+                lon1.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+            )
+        )
+
+    return _hav
+
+
+def tile_assign(
+    images: DataFrame,
+    geo: DataFrame,
+    id_col: str = "image_id",
+    level: int = TILE_LEVEL,
+    prefix_bits: int = 12,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """raster->vector tiling: each image lands in its S2 tile via lat/lon
+    metadata. Join on image_id (both sides huge at scale: sort-merge,
+    AQE-planned), encode, then *explicit repartition by cell prefix* (north
+    rule) so spatially-near tiles co-locate in output partitions."""
+    tagged = images.join(geo, id_col)
+    tiled = with_cell(tagged, "lat", "lon", level, out="tile_id")
+    prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - prefix_bits).alias("tile_prefix")
+    n = n_partitions or tiled.sparkSession.sparkContext.defaultParallelism * 2
+    return tiled.withColumn("tile_prefix", prefix).repartition(n, "tile_prefix")
+
+
+def tile_aggregates(tiled: DataFrame) -> DataFrame:
+    """per-tile rollup (count, mean dims, dup count by phash)."""
+    return tiled.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("w"), 4).alias("avg_w"),
+        F.round(F.avg("h"), 4).alias("avg_h"),
+        (F.count(F.lit(1)) - F.countDistinct("phash")).alias("n_phash_dups"),
+    )
+
+
+def polygons_to_cells(polygons_pdf: pd.DataFrame, level: int = TILE_LEVEL) -> pd.DataFrame:
+    """vector->raster: polygon ids to member cell sets (covering at tile
+    level, exact-center refine). Driver-side numpy (polygon tables are
+    small); returns (polygon_id, cell) pandas frame."""
+    from fairy_core_spark.functions.geometry import point_in_ring, polygon_covering_cells
+
+    rows = []
+    for _, r in polygons_pdf.iterrows():
+        ring = np.array([[p["lat"], p["lon"]] for p in r["ring"]], dtype=np.float64)
+        cells = polygon_covering_cells(ring, level)
+        clat, clon = s2.cell_center_latlon(cells)
+        keep = point_in_ring(clat, clon, ring)
+        for c in cells[keep]:
+            rows.append((r["polygon_id"], int(c)))
+    return pd.DataFrame(rows, columns=["polygon_id", "cell"])

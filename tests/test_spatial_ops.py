@@ -1,0 +1,118 @@
+"""Spatial operator goldens vs slow-but-obviously-correct numpy oracles
+(SURVEY.md §5 item 3): PIP joins (broadcast and cell-join plans must match
+the brute-force row set exactly), grid kNN vs O(n^2) haversine oracle,
+tiling assignment consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fairy_core_spark.datagen.images import geo_df, polygons_pdf
+from fairy_core_spark.functions.geometry import haversine_m, point_in_ring
+from fairy_core_spark.spatial.ops import (
+    knn_join,
+    spatial_join_broadcast,
+    spatial_join_cells,
+    tile_assign,
+    with_cell,
+)
+
+N_POINTS = 400
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    from fairy_core_spark.datagen.images import geo_for
+
+    ids = [f"img{i:010d}" for i in range(N_POINTS)]
+    lat, lon = zip(*(geo_for(x) for x in ids))
+    return pd.DataFrame({"image_id": ids, "lat": lat, "lon": lon})
+
+
+@pytest.fixture(scope="module")
+def polys():
+    return polygons_pdf(40)
+
+
+def brute_force_pip(points: pd.DataFrame, polys: pd.DataFrame) -> set[tuple[str, str]]:
+    out = set()
+    lat = points["lat"].to_numpy()
+    lon = points["lon"].to_numpy()
+    ids = points["image_id"].to_numpy()
+    for _, r in polys.iterrows():
+        ring = np.array([[p["lat"], p["lon"]] for p in r["ring"]])
+        hit = point_in_ring(lat, lon, ring)
+        for i in np.nonzero(hit)[0]:
+            out.add((ids[i], r["polygon_id"]))
+    return out
+
+
+def test_pip_broadcast_matches_bruteforce(spark, points_pdf, polys):
+    points = spark.createDataFrame(points_pdf)
+    got = {
+        (r["image_id"], r["polygon_id"])
+        for r in spatial_join_broadcast(points, polys).collect()
+    }
+    want = brute_force_pip(points_pdf, polys)
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises containment
+
+
+def test_pip_cell_join_matches_broadcast(spark, points_pdf, polys):
+    points = spark.createDataFrame(points_pdf)
+    got_cells = {
+        (r["image_id"], r["polygon_id"])
+        for r in spatial_join_cells(points, polys, level=8).collect()
+    }
+    want = brute_force_pip(points_pdf, polys)
+    assert got_cells == want
+
+
+def test_knn_matches_bruteforce(spark, points_pdf):
+    k = 3
+    queries = points_pdf.iloc[:25].rename(columns={"image_id": "query_id"})
+    points = spark.createDataFrame(points_pdf.rename(columns={"image_id": "id"}))
+    qdf = spark.createDataFrame(queries)
+    got = knn_join(points, qdf, k=k, id_col="id", query_id_col="query_id")
+    got_pairs = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+
+    # oracle: O(n^2) haversine, ties by (dist, id)
+    plat = points_pdf["lat"].to_numpy()
+    plon = points_pdf["lon"].to_numpy()
+    pids = points_pdf["image_id"].to_numpy()
+    for _, q in queries.iterrows():
+        d = haversine_m(q["lat"], q["lon"], plat, plon)
+        order = sorted(zip(d, pids), key=lambda t: (t[0], t[1]))
+        want = [pid for _, pid in order[:k]]
+        for rank in range(1, k + 1):
+            assert got_pairs[(q["query_id"], rank)] == want[rank - 1], q["query_id"]
+
+
+def test_tiling_assignment(spark):
+    from fairy_core_spark.datagen.images import images_df
+
+    images = images_df(spark, 300, partitions=4)
+    geo = geo_df(spark, 300, partitions=4)
+    tiled = tile_assign(images, geo, level=12)
+    rows = tiled.select("image_id", "tile_id", "lat", "lon").collect()
+    assert len(rows) == 300
+    # every tile_id equals the direct encode of that row's lat/lon
+    from fairy_core_spark.spatial import s2
+
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    want = s2.cell_id(lat, lon, 12)
+    got = np.array([r["tile_id"] for r in rows])
+    assert (got == want).all()
+
+
+def test_with_cell_udf_matches_numpy(spark, points_pdf):
+    points = spark.createDataFrame(points_pdf)
+    rows = with_cell(points, level=12).collect()
+    from fairy_core_spark.spatial import s2
+
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    assert (np.array([r["cell"] for r in rows]) == s2.cell_id(lat, lon, 12)).all()
