@@ -62,6 +62,9 @@ def run_image_pipeline(spark, n_images: int) -> dict:
         checked = with_image_checks(images)
         valid = checked.where(F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok"))
         encoded = with_cell(valid.join(geo, "image_id"), "lat", "lon", 12, out="tile_id")
+        # two consumers (PIP join + tiling) -> persist so the decode pass
+        # runs once (bytes already dropped, so this is a slim cache)
+        encoded = encoded.persist()
         pip = spatial_join_broadcast(encoded.select("image_id", "lat", "lon"), polygons_pdf(100))
         prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - 12)
         n_part = spark.sparkContext.defaultParallelism * 2
@@ -70,6 +73,7 @@ def run_image_pipeline(spark, n_images: int) -> dict:
         _force(pip)
         _force(tiles)
         wall = time.monotonic() - t0
+        encoded.unpersist()
         return {"pipeline_sec": round(wall, 3), "images_per_sec": round(n_images / wall, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

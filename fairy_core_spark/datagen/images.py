@@ -79,7 +79,12 @@ def synth_image_row(i: int, dirty: str | None = None) -> dict:
     fmt = _FMTS[src_i % len(_FMTS)]
     pixels = make_pixels(src_id, w, h)
     data = encode_image(pixels, fmt)
-    ph = phash64(pixels)
+    # phash is defined over the *stored* content: for lossy fmts hash the
+    # decoded (quantized) pixels so the integrity rule (recompute==stored)
+    # is exact for every format
+    from fairy_core_spark.functions.image_codec import decode_image
+
+    ph = phash64(decode_image(data, fmt))
     toks = [_TOKENS[(src_i >> (3 * k)) % len(_TOKENS)] for k in range(3)]
     caption = f"caption for {image_id}: " + " ".join(toks)
     row = {

@@ -98,14 +98,36 @@ class BBoxGridIndex:
         return out
 
     def contains_batch(self, lat: np.ndarray, lon: np.ndarray) -> list[tuple[int, str]]:
-        """(point_index, polygon_id) exact containment pairs."""
+        """(point_index, polygon_id) exact containment pairs.
+
+        Dense path for small polygon sets: one vectorized n x m bbox mask
+        (no per-point Python), then exact ray cast per polygon on its
+        bbox-passing subset. Falls back to the grid for large m."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        out: list[tuple[int, str]] = []
+        if len(self.boxes) <= 512:
+            b = self.boxes
+            inb = (
+                (lat[:, None] >= b[None, :, 0])
+                & (lat[:, None] <= b[None, :, 1])
+                & (lon[:, None] >= b[None, :, 2])
+                & (lon[:, None] <= b[None, :, 3])
+            )
+            for pi in range(len(b)):
+                idx = np.nonzero(inb[:, pi])[0]
+                if len(idx) == 0:
+                    continue
+                hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])
+                for t in idx[hit]:
+                    out.append((int(t), self.ids[pi]))
+            return out
         cand = self.query_batch(lat, lon)
         if not cand:
             return []
         by_poly: dict[int, list[int]] = {}
         for i, pi in cand:
             by_poly.setdefault(pi, []).append(i)
-        out: list[tuple[int, str]] = []
         for pi, idxs in by_poly.items():
             idx = np.array(idxs)
             hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])

@@ -70,15 +70,64 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
-    """array<long> of num_perm minhash values, fully native."""
+    """array<long> of num_perm minhash values, fully native.
+
+    The permutation loop runs as a transform over a *literal params array*
+    so the shingle-hash subtree appears exactly once in the expression tree
+    (building num_perm separate array_min exprs inlines — and re-executes —
+    the shingling num_perm times; that was a 50x slowdown)."""
     hs = F.transform(shingles(col, shingle_n), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.coalesce(
+            F.array_min(F.transform(hs, lambda h: (h * p["a"] + p["b"]) % _MERSENNE_P)),
+            F.lit(0),
+        ),
+    )
 
-    def _affine(a: int, b: int):
-        # closure factory: HOF lambdas must take exactly one parameter
-        return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_P
 
-    sigs = [F.array_min(F.transform(hs, _affine(a, b))) for a, b in _perm_params(num_perm)]
-    return F.array(*sigs)
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) via the shuffle-based classical plan:
+    explode distinct shingle hashes -> num_perm permuted columns (all
+    whole-stage-codegen row ops) -> groupBy(id) with num_perm mins
+    (map-side combined, so the shuffle carries one num_perm-long row per id
+    per partition). This beats the nested higher-order-function form ~20x:
+    HOF lambdas evaluate interpreted and re-evaluate the shingle subtree
+    per permutation.
+
+    Docs with no shingles (blank/short) get an all-zero signature."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)  # small-file inputs: spread the map work
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+        ).alias("h"),
+    )
+    perms = hs.select(
+        "id",
+        *[
+            ((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE_P).alias(f"p{i}")
+            for i, (a, b) in enumerate(_perm_params(num_perm))
+        ],
+    )
+    sig = perms.groupBy("id").agg(
+        *[F.coalesce(F.min(f"p{i}"), F.lit(0)).alias(f"m{i}") for i in range(num_perm)]
+    )
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -93,8 +142,8 @@ def minhash_lsh_candidates(
     rows-per-band = num_perm/n_bands; similarity threshold ~ (1/b)^(1/r)."""
     assert num_perm % n_bands == 0
     r = num_perm // n_bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    sigs = minhash_signatures_df(df, text_col, id_col, num_perm, shingle_n)
+    banded = sigs.select(
         "id",
         F.explode(
             F.array(

@@ -43,13 +43,20 @@ CHECK_COLUMNS = [
 _CHECKS_SCHEMA = ", ".join(f"{c} boolean" for c in CHECK_COLUMNS)
 
 
-def with_image_checks(images: DataFrame, reference_pixels=None) -> DataFrame:
+def with_image_checks(
+    images: DataFrame, reference_pixels=None, keep_bytes: bool = False
+) -> DataFrame:
     """images + boolean check columns, one Arrow decode pass.
 
     ``reference_pixels``: callable(image_id, w, h) -> ndarray used for the
     PSNR-vs-source invariant. Defaults to the engine's deterministic
     synthesizer (matching the fixture generator); pass None-returning fn
     when no source reference exists (psnr_ok then equals decode_ok).
+
+    ``keep_bytes=False`` (default) drops the pixel payload from the output:
+    the blobs must cross into Python for decoding, but serializing them
+    back out and shuffling them through downstream joins is pure waste —
+    validation consumers key on image_id + flags.
     """
     if reference_pixels is None:
         from fairy_core_spark.datagen.images import make_pixels
@@ -57,29 +64,37 @@ def with_image_checks(images: DataFrame, reference_pixels=None) -> DataFrame:
         def reference_pixels(image_id: str, w: int, h: int):  # noqa: F811
             return make_pixels(image_id, w, h)
 
-    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields)
+    out_fields = [f for f in images.schema.fields if keep_bytes or f.name != "bytes"]
+    out_names = [f.name for f in out_fields]
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     out_schema = f"{in_schema}, {_CHECKS_SCHEMA}"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
             flags = {c: np.zeros(n, dtype=bool) for c in CHECK_COLUMNS}
+            # column-extracted lists: pandas .iloc row access is ~100x slower
+            # than list indexing and dominates the batch loop otherwise
+            ids = pdf["image_id"].tolist()
+            blobs = pdf["bytes"].tolist()
+            ws = pdf["w"].tolist()
+            hs = pdf["h"].tolist()
+            fmts = pdf["fmt"].tolist()
+            caps = pdf["caption"].tolist()
+            phashes = pdf["phash"].tolist()
             for i in range(n):
-                row = pdf.iloc[i]
-                cap = row["caption"]
+                cap = caps[i]
                 flags["caption_ok"][i] = cap is not None and str(cap).strip() != ""
                 try:
-                    px = decode_image(row["bytes"], row["fmt"])
+                    px = decode_image(blobs[i], fmts[i])
                 except Exception:
                     continue  # all pixel checks stay False
                 flags["decode_ok"][i] = True
-                flags["dims_ok"][i] = px.shape[0] == row["h"] and px.shape[1] == row["w"]
-                flags["range_ok"][i] = (
-                    px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
-                )
+                flags["dims_ok"][i] = px.shape[0] == hs[i] and px.shape[1] == ws[i]
+                flags["range_ok"][i] = px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
                 if flags["dims_ok"][i]:
-                    flags["phash_ok"][i] = int(phash64(px)) == int(row["phash"])
-                    src_id = row["image_id"]
+                    flags["phash_ok"][i] = int(phash64(px)) == int(phashes[i])
+                    src_id = ids[i]
                     # dedup fixture rows (i%1000==999) reference the prior id
                     try:
                         idx = int(src_id[3:])
@@ -87,16 +102,17 @@ def with_image_checks(images: DataFrame, reference_pixels=None) -> DataFrame:
                             src_id = f"img{idx - 1:010d}"
                     except ValueError:
                         pass
-                    ref = reference_pixels(src_id, int(row["w"]), int(row["h"]))
+                    ref = reference_pixels(src_id, int(ws[i]), int(hs[i]))
                     if ref is None:
                         flags["psnr_ok"][i] = True
-                    elif row["fmt"] in LOSSY_FMTS:
+                    elif fmts[i] in LOSSY_FMTS:
                         flags["psnr_ok"][i] = psnr_db(ref, px) >= PSNR_LOSSY_MIN_DB
                     else:
                         flags["psnr_ok"][i] = bool((ref == px).all())
+            out = pdf[out_names].copy()
             for c in CHECK_COLUMNS:
-                pdf[c] = flags[c]
-            yield pdf
+                out[c] = flags[c]
+            yield out
 
     return images.mapInPandas(run, schema=out_schema)
 

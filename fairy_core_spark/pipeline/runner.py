@@ -50,8 +50,10 @@ class PipelineRunner:
         self.catalog = ParquetDirCatalog(out_dir)
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self._lineage_path = os.path.join(out_dir, "_lineage.jsonl")
-        self._metrics_path = os.path.join(out_dir, "_metrics.jsonl")
+        # NOTE: no leading underscore — Spark readers treat _-prefixed files
+        # as hidden metadata and skip them
+        self._lineage_path = os.path.join(out_dir, "lineage.jsonl")
+        self._metrics_path = os.path.join(out_dir, "metrics.jsonl")
 
     # ---- lineage / metrics (driver-appended JSONL + parquet mirrors) ----
 
@@ -122,10 +124,12 @@ class PipelineRunner:
                 self._metrics_path,
                 {"stage": stage.name, "rows_out": rows_out, "wall_ms": wall_ms},
             )
-        # per-partition lineage mirror as a queryable parquet table
+        # lineage mirror as a queryable parquet table
         if os.path.exists(self._lineage_path):
             lineage_df = self.spark.read.json(self._lineage_path)
-            lineage_df.write.mode("overwrite").parquet(os.path.join(self.out_dir, "_lineage"))
+            lineage_df.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "lineage_table")
+            )
         return status
 
 

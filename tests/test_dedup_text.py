@@ -1,0 +1,102 @@
+"""Dedup / text / similarity operator unit tests (training-data pipeline
+ops): recall of LSH candidates on planted near-dups, simhash locality,
+token-count edge cases, language-id markers, fingerprint determinism,
+IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.operators import dedup
+from fairy_core_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+from fairy_core_spark.operators.text import doc_fingerprint, lang_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [
+        (1, base, "a"),
+        (2, base + " again", "a"),  # near-dup of 1
+        (3, "completely different words about spark shuffle partitions and joins", "a"),
+        (4, base, "b"),  # exact dup of 1, other block
+        (5, "el rapido zorro marron salta sobre el perro y la gata", "b"),
+        (6, "", "b"),
+        (7, "   ", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) >= 1
+    g = [r for r in groups if r["n"] == 2]
+    assert g and g[0]["keeper_id"] == 1  # docs 1 and 4 byte-identical
+
+
+def test_minhash_lsh_recall(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    assert (1, 4) in pairs  # identical docs always share every band
+    assert (1, 2) in pairs  # near-dup shares >=1 band at 4x4 banding
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", "source", 0.5).collect()
+    }
+    assert got.get((1, 2), 0) >= 0.8  # same block, near-identical
+    assert (1, 4) not in got  # exact dup but different block -> not compared
+
+
+def test_simhash_locality(spark, docs):
+    rows = {r["doc_id"]: r["simhash"] for r in docs.select("doc_id", dedup.simhash64("text")).collect()}
+    from fairy_core_spark.functions.phash import hamming64
+
+    near = hamming64(np.array([rows[1]]), np.array([rows[2]]))[0]
+    far = hamming64(np.array([rows[1]]), np.array([rows[3]]))[0]
+    assert near < far
+    assert rows[1] == rows[4]  # identical text -> identical simhash
+    assert rows[6] == 0 and rows[7] == 0  # empty/blank -> 0
+
+
+def test_token_count_edges(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got[6] == 0 and got[7] == 0
+    assert got[1] == 15
+
+
+def test_lang_id_markers(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"
+    assert got[6] == "und"
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in docs.select("doc_id", doc_fingerprint()).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in docs.select("doc_id", doc_fingerprint()).collect()}
+    assert a == b
+    assert a[1] == a[4] and a[1] != a[2]
+
+
+def test_ivf_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 8")
+    bf = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=3).collect()}
+    ivf_full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert bf == ivf_full  # probing every bucket == exact
+    ivf_partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(bf & ivf_partial) / len(bf) >= 0.5  # partial probe: decent recall

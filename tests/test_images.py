@@ -1,0 +1,97 @@
+"""Image stage-1 validation + phash dedup goldens (SURVEY.md §5 item 3):
+exact violation counts on a deterministically-dirty table, PSNR invariant,
+phash dup groups at the fixture's 1-in-1000 duplication rate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.datagen.images import images_df, make_pixels, synth_image_row
+from fairy_core_spark.functions.image_codec import decode_image, encode_image, psnr_db
+from fairy_core_spark.functions.phash import hamming64, phash64
+from fairy_core_spark.operators.images import with_image_checks
+
+N = 400
+DIRTY_EVERY = 50  # i%50==49 -> dirty, cycling null_caption/dim_mismatch/truncated/bad_fmt
+
+
+@pytest.fixture(scope="module")
+def checked(spark):
+    imgs = images_df(spark, N, partitions=4, dirty_every=DIRTY_EVERY)
+    return with_image_checks(imgs).cache()
+
+
+def _dirty_ids(kind_index: int) -> set[str]:
+    out = set()
+    for i in range(N):
+        if i % DIRTY_EVERY == DIRTY_EVERY - 1 and (i // DIRTY_EVERY) % 4 == kind_index:
+            out.add(f"img{i:010d}")
+    return out
+
+
+def test_decode_failures_exactly_truncated_and_badfmt(checked):
+    bad = {r["image_id"] for r in checked.where(~F.col("decode_ok")).collect()}
+    assert bad == _dirty_ids(2) | _dirty_ids(3)  # truncated + bad_fmt
+
+
+def test_dim_mismatch_flagged(checked):
+    bad = {
+        r["image_id"]
+        for r in checked.where(F.col("decode_ok") & ~F.col("dims_ok")).collect()
+    }
+    assert bad == _dirty_ids(1)
+
+
+def test_null_captions_flagged(checked):
+    bad = {r["image_id"] for r in checked.where(~F.col("caption_ok")).collect()}
+    assert bad == _dirty_ids(0)
+
+
+def test_phash_integrity_holds_for_clean_rows(checked):
+    clean = checked.where(
+        F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
+    )
+    n_bad_phash = clean.where(~F.col("phash_ok")).count()
+    assert n_bad_phash == 0
+
+
+def test_psnr_invariant(checked):
+    clean = checked.where(F.col("decode_ok") & F.col("dims_ok"))
+    assert clean.where(~F.col("psnr_ok")).count() == 0
+
+
+def test_psnr_math():
+    px = make_pixels("imgX", 48, 48)
+    lossy = decode_image(encode_image(px, "qnt"), "qnt")
+    assert 40.0 <= psnr_db(px, lossy) < 60.0
+    assert psnr_db(px, px) == float("inf")
+
+
+def test_phash_dedup_duplicate_rows(spark):
+    # rows i%1000==999 duplicate the previous row's pixels under a new id
+    imgs = images_df(spark, 2000, partitions=4)
+    from fairy_core_spark.operators.dedup import phash_exact_dups
+
+    groups = phash_exact_dups(imgs).collect()
+    # 2 planted dup pairs in 2000 rows (999, 1999); allow rare collisions
+    keepers = {r["keeper_id"] for r in groups}
+    assert "img0000000998" in keepers
+    assert "img0000001998" in keepers
+
+
+def test_phash_hamming_near_dup():
+    a = make_pixels("imgA", 64, 64)
+    b = a.copy()
+    b[:2, :2, :] = 0  # tiny perturbation
+    ha = np.array([phash64(a)])
+    hb = np.array([phash64(b)])
+    assert hamming64(ha, hb)[0] <= 6
+    c = make_pixels("imgC", 64, 64)
+    assert hamming64(ha, np.array([phash64(c)]))[0] > 6
+
+
+def test_synth_row_deterministic():
+    r1, r2 = synth_image_row(123), synth_image_row(123)
+    assert r1 == r2
