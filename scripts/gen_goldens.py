@@ -76,6 +76,42 @@ CASES = {
 }
 
 
+def normalize_preflight(report: dict) -> dict:
+    """Strip volatile/engine-identity keys from the v1 preflight report so
+    the golden pins semantics (results/summary/metadata shapes) only."""
+    out = json.loads(json.dumps(report))
+    out.pop("_legacy", None)
+    out.pop("engine", None)
+    out.pop("generated_at", None)
+    out.pop("dataset_id", None)  # depends on rulepack sha of the file path
+    md = out.get("metadata", {})
+    for inp in md.get("inputs", {}).values():
+        inp["path"] = os.path.basename(inp["path"])
+    rp = md.get("rulepack", {})
+    rp["path"] = os.path.basename(rp.get("path", ""))
+    att = out.get("attestation", {})
+    if "rulepack_source_path" in att:
+        att["rulepack_source_path"] = os.path.basename(att["rulepack_source_path"])
+    return out
+
+
+def gen_preflight_golden() -> None:
+    os.environ["FAIRY_FIXED_TIMESTAMP"] = "1970-01-01T00:00:00Z"
+    from fairy.core.services.validator import run_rulepack as run_preflight_ref
+
+    report = run_preflight_ref(
+        FIX / "rulepacks" / "geo_preflight.json",
+        FIX / "preflight" / "samples.tsv",
+        FIX / "preflight" / "files.tsv",
+        fairy_version="golden",
+        params={},
+    )
+    norm = normalize_preflight(report)
+    out = GOLD / "preflight.report.json"
+    out.write_text(json.dumps(norm, indent=2, sort_keys=True) + "\n")
+    print(f"wrote {out}  summary={norm['summary']}")
+
+
 def main() -> None:
     GOLD.mkdir(parents=True, exist_ok=True)
     for name, (inputs, rp_path) in CASES.items():
@@ -85,6 +121,7 @@ def main() -> None:
         out = GOLD / f"{name}.report.json"
         out.write_text(json.dumps(norm, indent=2, sort_keys=True) + "\n")
         print(f"wrote {out}  summary={norm['summary']}")
+    gen_preflight_golden()
 
 
 if __name__ == "__main__":

@@ -81,8 +81,8 @@ def run_config(cpus: int, n_images: int, runs: int) -> dict:
 
 
 def main() -> int:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     r8 = run_config(8, n_images, runs)
     r32 = run_config(32, n_images, runs)
