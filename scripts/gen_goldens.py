@@ -112,6 +112,40 @@ def gen_preflight_golden() -> None:
     print(f"wrote {out}  summary={norm['summary']}")
 
 
+def gen_checks_dialect_golden() -> None:
+    """Freeze RuleResult outputs of the reference checks.py dialect on the
+    checks_dialect fixture (string-first read, like _read_table)."""
+    import dataclasses
+
+    import pandas as pd
+
+    from fairy.validation import checks as rc
+
+    df = pd.read_csv(FIX / "checks_dialect.csv", dtype=str, keep_default_na=False)
+    # the reference API is typically handed frames where blanks are NaN in
+    # some tests and "" in engine reads; pin the engine read (""), but NaN
+    # for fully-missing homepage cells matches read_input's coalesce("")
+    ref = pd.read_csv(FIX / "checks_dialect_ref.csv", dtype=str, keep_default_na=False)
+
+    results = {
+        "row_unique": rc.rr_row_unique(df, column="id"),
+        "row_unique_ci": rc.rr_row_unique(df, column="id", case_insensitive=True),
+        "fk_rows": rc.rr_table_foreign_key(df, ref, from_column="id", to_column="ref"),
+        "numeric_range": rc.rr_column_numeric_range(df, column="price", min_value=0, max_value=1000),
+        "enum_ci": rc.rr_column_enum(df, column="currency", allowed=["USD", "EUR"], case_insensitive=True),
+        "enum_cs": rc.rr_column_enum(df, column="currency", allowed=["USD", "EUR"]),
+        "url": rc.rr_column_url(df, column="homepage"),
+        "non_empty": rc.rr_column_non_empty_trimmed(df, column="name"),
+        "schema_required": rc.rr_schema_required(df, required=["id", "missing_col"]),
+    }
+    out = {}
+    for k, v in results.items():
+        out[k] = None if v is None else dataclasses.asdict(v)
+    p = GOLD / "checks_dialect.json"
+    p.write_text(json.dumps(out, indent=2, sort_keys=True, default=str) + "\n")
+    print(f"wrote {p}")
+
+
 def main() -> None:
     GOLD.mkdir(parents=True, exist_ok=True)
     for name, (inputs, rp_path) in CASES.items():
@@ -122,6 +156,7 @@ def main() -> None:
         out.write_text(json.dumps(norm, indent=2, sort_keys=True) + "\n")
         print(f"wrote {out}  summary={norm['summary']}")
     gen_preflight_golden()
+    gen_checks_dialect_golden()
 
 
 if __name__ == "__main__":
