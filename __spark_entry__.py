@@ -25,19 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
     driver's smoke test also touches the test data."""
     from pyspark.sql import functions as F
 
-    from fairy_core_spark.datagen.images import geo_df, images_df
-    from fairy_core_spark.operators.images import with_image_checks
+    from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
     from fairy_core_spark.operators.rules import nullish_pred
-    from fairy_core_spark.spatial.ops import tile_aggregates, with_cell
+    from fairy_core_spark.pipeline.north import north_pipeline
 
     n = 2000
     images = images_df(spark, n, partitions=8, dirty_every=100)
     geo = geo_df(spark, n, partitions=8)
-
-    checked = with_image_checks(images)
-    valid = checked.where(F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok"))
-    encoded = with_cell(valid.join(geo, "image_id"), "lat", "lon", 12, out="tile_id")
-    tiles = tile_aggregates(encoded.withColumn("tile_id", F.col("tile_id")))
+    tiles = north_pipeline(images, geo, polygons_pdf(20), n_partitions=8)
 
     # stage-1 relational rule over the driver test data (smoke contact)
     li = spark.read.parquet(f"{SF0001}/lineitem.parquet")

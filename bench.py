@@ -44,12 +44,10 @@ def _force(df) -> None:
 
 
 def run_image_pipeline(spark, n_images: int) -> dict:
-    """Generate input parquet (untimed), then time validate->encode->join->tile."""
-    from pyspark.sql import functions as F
-
+    """Generate input parquet (untimed), then time the single-action
+    validate->encode->PIP->tile pipeline (same plan as scaling_bench)."""
     from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
-    from fairy_core_spark.operators.images import with_image_checks
-    from fairy_core_spark.spatial.ops import spatial_join_broadcast, tile_aggregates, with_cell
+    from fairy_core_spark.pipeline.north import north_pipeline
 
     tmp = tempfile.mkdtemp(prefix="fairy_bench_")
     try:
@@ -57,23 +55,12 @@ def run_image_pipeline(spark, n_images: int) -> dict:
         geo_df(spark, n_images).write.mode("overwrite").parquet(f"{tmp}/geo")
         images = spark.read.parquet(f"{tmp}/images")
         geo = spark.read.parquet(f"{tmp}/geo")
+        polys = polygons_pdf(100)
 
+        _force(north_pipeline(images, geo, polys))  # JIT warm-up, discarded
         t0 = time.monotonic()
-        checked = with_image_checks(images)
-        valid = checked.where(F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok"))
-        encoded = with_cell(valid.join(geo, "image_id"), "lat", "lon", 12, out="tile_id")
-        # two consumers (PIP join + tiling) -> persist so the decode pass
-        # runs once (bytes already dropped, so this is a slim cache)
-        encoded = encoded.persist()
-        pip = spatial_join_broadcast(encoded.select("image_id", "lat", "lon"), polygons_pdf(100))
-        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - 12)
-        n_part = spark.sparkContext.defaultParallelism * 2
-        tiled = encoded.withColumn("tile_prefix", prefix).repartition(n_part, "tile_prefix")
-        tiles = tile_aggregates(tiled)
-        _force(pip)
-        _force(tiles)
+        _force(north_pipeline(images, geo, polys))
         wall = time.monotonic() - t0
-        encoded.unpersist()
         return {"pipeline_sec": round(wall, 3), "images_per_sec": round(n_images / wall, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

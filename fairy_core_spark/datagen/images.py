@@ -67,6 +67,27 @@ def make_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def make_pixels_stack(image_ids: list[str], w: int, h: int) -> np.ndarray:
+    """Vectorized :func:`make_pixels` for N same-sized images ->
+    (N, h, w, 3) uint8. Bit-identical to the scalar path (per-image
+    sha256 offsets broadcast over one shared gradient)."""
+    n = len(image_ids)
+    offs = np.empty((n, 3), dtype=np.uint8)
+    for i, iid in enumerate(image_ids):  # sha256 is the per-image part; ~1us each
+        d = hashlib.sha256(iid.encode()).digest()
+        offs[i] = d[0], d[1], d[2]
+    y, x = np.mgrid[0:h, 0:w]
+    # uint8 add wraps mod 256 — matches the scalar (grad + off) % 256 exactly
+    rg = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    gg = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    bg = ((x + y) * 255 // max(w + h - 2, 1)).astype(np.uint8)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    out[..., 0] = rg[None] + offs[:, 0, None, None]
+    out[..., 1] = gg[None] + offs[:, 1, None, None]
+    out[..., 2] = bg[None] + offs[:, 2, None, None]
+    return out
+
+
 def synth_image_row(i: int, dirty: str | None = None) -> dict:
     """One deterministic row. Every 1000th row (i%1000==999) duplicates the
     previous row's pixels under a new image_id (phash-dedup exercise).

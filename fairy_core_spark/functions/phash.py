@@ -58,12 +58,45 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _gray32_stack(stack: np.ndarray) -> np.ndarray:
+    """(N, h, w, 3) uint8 -> (N, 32, 32) float64 grayscale; same
+    pooling/resample rule as :func:`_to_gray_32`, vectorized over N."""
+    n, h, w, _ = stack.shape
+    gray = stack @ np.array([0.299, 0.587, 0.114])
+    if h % 32 or w % 32:
+        yi = (np.arange(32) * h // 32).clip(0, h - 1)
+        xi = (np.arange(32) * w // 32).clip(0, w - 1)
+        return gray[:, yi][:, :, xi]
+    return gray.reshape(n, 32, h // 32, 32, w // 32).mean(axis=(2, 4))
+
+
+def phash64_stack(stack: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash64` over a (N, h, w, 3) uint8 stack of
+    same-sized images -> int64 array. Bit-identical to the scalar path
+    (same gray/DCT/median pipeline, batched matmuls)."""
+    g = _gray32_stack(stack)
+    d = _dct_matrix(32)
+    coeffs = np.matmul(np.matmul(d, g), d.T)  # (N,32,32), broadcast matmul
+    block = coeffs[:, :8, :8].reshape(len(g), 64)
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint8)
+    # pack 64 bits (MSB-first, same order as the scalar shift loop)
+    packed = np.packbits(bits, axis=1)  # (N, 8) big-endian bytes
+    u = packed.astype(np.uint64) << (np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64))
+    return u.sum(axis=1).view(np.int64) if len(g) else np.zeros(0, np.int64)
+
+
 def phash_batch(images: list[np.ndarray | None]) -> np.ndarray:
-    """Hash a batch; None (undecodable) -> 0. Returns int64 array."""
+    """Hash a batch; None (undecodable) -> 0. Returns int64 array.
+    Same-shaped images are stacked and hashed with batched matmuls."""
     out = np.zeros(len(images), dtype=np.int64)
+    groups: dict[tuple[int, int], list[int]] = {}
     for i, im in enumerate(images):
         if im is not None:
-            out[i] = phash64(im)
+            groups.setdefault(im.shape[:2], []).append(i)
+    for idxs in groups.values():
+        stack = np.stack([images[i] for i in idxs])
+        out[np.asarray(idxs)] = phash64_stack(stack)
     return out
 
 

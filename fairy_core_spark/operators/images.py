@@ -27,9 +27,16 @@ from fairy_core_spark.functions.image_codec import (
     LOSSY_FMTS,
     PSNR_LOSSY_MIN_DB,
     decode_image,
-    psnr_db,
 )
-from fairy_core_spark.functions.phash import phash64
+from fairy_core_spark.functions.phash import phash64_stack
+
+
+def make_pixels_reference(image_id: str, w: int, h: int) -> np.ndarray:
+    """Default PSNR reference: the engine's deterministic synthesizer
+    (identity-checked in ``with_image_checks`` to take the batched path)."""
+    from fairy_core_spark.datagen.images import make_pixels
+
+    return make_pixels(image_id, w, h)
 
 CHECK_COLUMNS = [
     "decode_ok",  # bytes decode under the declared fmt
@@ -59,56 +66,79 @@ def with_image_checks(
     validation consumers key on image_id + flags.
     """
     if reference_pixels is None:
-        from fairy_core_spark.datagen.images import make_pixels
-
-        def reference_pixels(image_id: str, w: int, h: int):  # noqa: F811
-            return make_pixels(image_id, w, h)
+        reference_pixels = make_pixels_reference
+    from fairy_core_spark.datagen.images import make_pixels_stack
 
     out_fields = [f for f in images.schema.fields if keep_bytes or f.name != "bytes"]
     out_names = [f.name for f in out_fields]
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     out_schema = f"{in_schema}, {_CHECKS_SCHEMA}"
 
+    def _src_id(image_id: str) -> str:
+        # dedup fixture rows (i%1000==999) reference the prior id
+        try:
+            idx = int(image_id[3:])
+            if idx % 1000 == 999 and idx > 0:
+                return f"img{idx - 1:010d}"
+        except ValueError:
+            pass
+        return image_id
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
             flags = {c: np.zeros(n, dtype=bool) for c in CHECK_COLUMNS}
-            # column-extracted lists: pandas .iloc row access is ~100x slower
-            # than list indexing and dominates the batch loop otherwise
+            caps = pdf["caption"]
+            flags["caption_ok"][:] = (caps.notna() & (caps.astype(str).str.strip() != "")).to_numpy()
             ids = pdf["image_id"].tolist()
             blobs = pdf["bytes"].tolist()
-            ws = pdf["w"].tolist()
-            hs = pdf["h"].tolist()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
             fmts = pdf["fmt"].tolist()
-            caps = pdf["caption"].tolist()
-            phashes = pdf["phash"].tolist()
+            phashes = pdf["phash"].to_numpy(np.int64)
+            # codec loop: per-image zlib/header parsing only — the math
+            # (phash DCT, reference synthesis, PSNR) is batched below with
+            # one numpy pass per (h, w) size group.
+            pixels: list[np.ndarray | None] = [None] * n
             for i in range(n):
-                cap = caps[i]
-                flags["caption_ok"][i] = cap is not None and str(cap).strip() != ""
                 try:
-                    px = decode_image(blobs[i], fmts[i])
+                    pixels[i] = decode_image(blobs[i], fmts[i])
                 except Exception:
-                    continue  # all pixel checks stay False
+                    pass  # all pixel checks stay False
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, px in enumerate(pixels):
+                if px is None:
+                    continue
                 flags["decode_ok"][i] = True
-                flags["dims_ok"][i] = px.shape[0] == hs[i] and px.shape[1] == ws[i]
                 flags["range_ok"][i] = px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
-                if flags["dims_ok"][i]:
-                    flags["phash_ok"][i] = int(phash64(px)) == int(phashes[i])
-                    src_id = ids[i]
-                    # dedup fixture rows (i%1000==999) reference the prior id
-                    try:
-                        idx = int(src_id[3:])
-                        if idx % 1000 == 999 and idx > 0:
-                            src_id = f"img{idx - 1:010d}"
-                    except ValueError:
-                        pass
-                    ref = reference_pixels(src_id, int(ws[i]), int(hs[i]))
-                    if ref is None:
-                        flags["psnr_ok"][i] = True
-                    elif fmts[i] in LOSSY_FMTS:
-                        flags["psnr_ok"][i] = psnr_db(ref, px) >= PSNR_LOSSY_MIN_DB
-                    else:
-                        flags["psnr_ok"][i] = bool((ref == px).all())
+                if px.shape[0] == hs[i] and px.shape[1] == ws[i]:
+                    flags["dims_ok"][i] = True
+                    groups.setdefault((int(hs[i]), int(ws[i])), []).append(i)
+            for (h, w), idx_list in groups.items():
+                idxs = np.asarray(idx_list)
+                stack = np.stack([pixels[i] for i in idx_list])
+                flags["phash_ok"][idxs] = phash64_stack(stack) == phashes[idxs]
+                refs = np.zeros_like(stack)
+                have_ref = np.ones(len(idx_list), dtype=bool)
+                if reference_pixels is make_pixels_reference:
+                    refs = make_pixels_stack([_src_id(ids[i]) for i in idx_list], w, h)
+                else:
+                    for j, i in enumerate(idx_list):
+                        r = reference_pixels(_src_id(ids[i]), w, h)
+                        if r is None:
+                            have_ref[j] = False
+                        else:
+                            refs[j] = r
+                # float32 diff: exact for uint8 deltas (|d| <= 255), 8x less
+                # memory traffic than int64 — this loop is bandwidth-bound
+                diff = refs.astype(np.float32) - stack.astype(np.float32)
+                mse = np.square(diff, out=diff).reshape(len(idx_list), -1).mean(axis=1, dtype=np.float64)
+                lossy = np.array([fmts[i] in LOSSY_FMTS for i in idx_list])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    psnr = 10.0 * np.log10(255.0**2 / np.where(mse > 0, mse, np.nan))
+                psnr = np.where(mse == 0, np.inf, psnr)
+                ok = np.where(lossy, psnr >= PSNR_LOSSY_MIN_DB, mse == 0)
+                flags["psnr_ok"][idxs] = np.where(have_ref, ok, True)
             out = pdf[out_names].copy()
             for c in CHECK_COLUMNS:
                 out[c] = flags[c]

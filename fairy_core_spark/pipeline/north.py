@@ -1,0 +1,62 @@
+"""The north-rule image pipeline as ONE linear Spark plan:
+
+    validate (Arrow decode/phash/PSNR checks)
+      -> S2 encode (tile cell at TILE_LEVEL)
+      -> spatial join (broadcast ray-cast PIP, left-annotate)
+      -> tile rollup (explicit repartition by cell prefix, then aggregate)
+
+Single action, no persist, no double-scan: the PIP stage carries full rows
+(`spatial_annotate_broadcast`), so the decode pass runs exactly once and
+the only shuffle in the whole pipeline is the final explicit cell-prefix
+repartition + rollup. This is the benchmark hot path and the flagship
+`entry()` shape (SURVEY.md §2.6; BASELINE.json north_rule).
+
+Scale notes (100 TB story): validation + encode + PIP are pure
+projections — they scale with input splits and never shuffle. The geo
+metadata join broadcasts when the geo side fits (bench scale); at
+10^12-image scale both tables are written bucketed by image_id so the
+join is shuffle-free, or AQE picks a sort-merge join — the pipeline code
+is identical either way (`broadcast_geo` flag).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fairy_core_spark.operators.images import with_image_checks
+from fairy_core_spark.spatial.ops import (
+    TILE_LEVEL,
+    spatial_annotate_broadcast,
+    tile_aggregates_annotated,
+    with_cell,
+)
+
+#: number of leading cell-id bits used as the output-layout partition key
+PREFIX_BITS = 12
+
+
+def north_pipeline(
+    images: DataFrame,
+    geo: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    level: int = TILE_LEVEL,
+    n_partitions: int | None = None,
+    broadcast_geo: bool = True,
+) -> DataFrame:
+    """images + geo + polygons -> per-tile rollup DataFrame (one action)."""
+    checked = with_image_checks(images)
+    valid = checked.where(
+        F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
+    )
+    g = F.broadcast(geo) if broadcast_geo else geo
+    encoded = with_cell(valid.join(g, "image_id"), "lat", "lon", level, out="tile_id")
+    annotated = spatial_annotate_broadcast(encoded, polygons_pdf)
+    prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - PREFIX_BITS)
+    if n_partitions is None:
+        n_partitions = images.sparkSession.sparkContext.defaultParallelism * 2
+    tiled = annotated.withColumn("tile_prefix", prefix).repartition(
+        n_partitions, "tile_prefix"
+    )
+    return tile_aggregates_annotated(tiled)

@@ -27,6 +27,14 @@ def get_spark(
     - shuffle partitions default to ~2x cores locally; on a real cluster
       AQE coalesces from a deliberately high initial number.
     """
+    # one BLAS thread per worker: the engine's numpy math is already
+    # batch-vectorized and one worker runs per core — BLAS's own threads
+    # (and their spin-waiting) only oversubscribe and burn CPU. Must be in
+    # the env before numpy loads in each python worker; local-mode workers
+    # inherit the driver env, clusters get it via executorEnv below.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -50,6 +58,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # unix domain sockets for the python<->JVM arrow pipe: measured
+        # faster and far lower run-to-run variance than TCP loopback for
+        # the image-decode hot path (BENCH/BASELINE.md)
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -89,6 +89,59 @@ def spatial_join_broadcast(
     return points.select(id_col, lat_col, lon_col).mapInPandas(run, schema=schema)
 
 
+def spatial_annotate_broadcast(
+    df: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out: str = "polygon_id",
+) -> DataFrame:
+    """Left-join flavored broadcast PIP: every input row kept, with a
+    ``polygon_id`` column (null = contained by no polygon; a row contained
+    by k polygons appears k times). Same containment semantics as
+    :func:`spatial_join_broadcast`, but it carries the full row through so
+    validate -> encode -> PIP -> tile composes into ONE linear plan with
+    no persist/double-scan (the bench/pipeline hot path)."""
+    index = BBoxGridIndex(_rings_dict(polygons_pdf))
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{in_schema}, {out} string"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lat = pdf[lat_col].to_numpy(np.float64)
+            lon = pdf[lon_col].to_numpy(np.float64)
+            pairs = index.contains_batch(lat, lon)
+            if not pairs:
+                res = pdf.copy()
+                res[out] = None
+                yield res
+                continue
+            ii = np.fromiter((i for i, _ in pairs), dtype=np.int64, count=len(pairs))
+            matched = np.zeros(len(pdf), dtype=bool)
+            matched[ii] = True
+            unmatched = pdf.loc[~matched].copy()
+            unmatched[out] = None
+            hits = pdf.iloc[ii].copy()
+            hits[out] = [p for _, p in pairs]
+            yield pd.concat([unmatched, hits], ignore_index=True)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def tile_aggregates_annotated(tiled: DataFrame) -> DataFrame:
+    """per-tile rollup over PIP-annotated rows (rows may repeat per
+    polygon): distinct image count, mean dims, phash dups, PIP matches."""
+    return tiled.groupBy("tile_id").agg(
+        F.countDistinct("image_id").alias("n_images"),
+        F.round(F.avg("w"), 4).alias("avg_w"),
+        F.round(F.avg("h"), 4).alias("avg_h"),
+        (F.countDistinct("phash") * -1 + F.countDistinct("image_id")).alias("n_phash_dups"),
+        F.count("polygon_id").alias("n_pip_matches"),
+    )
+
+
 def spatial_join_cells(
     points: DataFrame,
     polygons_pdf: pd.DataFrame,
