@@ -54,6 +54,7 @@ class PipelineRunner:
         # as hidden metadata and skip them
         self._lineage_path = os.path.join(out_dir, "lineage.jsonl")
         self._metrics_path = os.path.join(out_dir, "metrics.jsonl")
+        self._partition_lineage_path = os.path.join(out_dir, "lineage_partitions.jsonl")
 
     # ---- lineage / metrics (driver-appended JSONL + parquet mirrors) ----
 
@@ -76,6 +77,29 @@ class PipelineRunner:
         marker = os.path.join(self.out_dir, stage.output, "_stage_fingerprint")
         with open(marker, "w") as f:
             f.write(fp)
+
+    def _partition_rows(self, table: str) -> list[dict]:
+        """Per-output-partition lineage from parquet footers (metadata-only
+        driver read — no extra Spark pass; at cluster scale this is the
+        Iceberg manifest listing). One row per data file: (file, rows,
+        bytes)."""
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self.out_dir, table, "data")
+        out = []
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                out.append(
+                    {
+                        "file": os.path.relpath(p, data_dir),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+        return out
 
     def run(self, stages: list[Stage], sources: dict[str, DataFrame] | None = None) -> dict:
         """Execute stages in order; returns {stage: status} summary."""
@@ -105,7 +129,13 @@ class PipelineRunner:
             out_df = stage.transform(self.spark, frames)
             snap = self.catalog.write(out_df, stage.output, partition_by=stage.partition_by)
             wall_ms = int((time.monotonic() - t0) * 1000)
-            rows_out = self.catalog.read(self.spark, stage.output).count()
+            parts = self._partition_rows(stage.output)
+            rows_out = sum(p["rows"] for p in parts)
+            for i, p in enumerate(parts):
+                self._append(
+                    self._partition_lineage_path,
+                    {"stage": stage.name, "fingerprint": fp, "partition_id": i, **p},
+                )
             self._mark_completed(stage, fp)
             status[stage.name] = "completed"
             self._append(
@@ -124,12 +154,16 @@ class PipelineRunner:
                 self._metrics_path,
                 {"stage": stage.name, "rows_out": rows_out, "wall_ms": wall_ms},
             )
-        # lineage mirror as a queryable parquet table
+        # lineage mirrors as queryable parquet tables
         if os.path.exists(self._lineage_path):
             lineage_df = self.spark.read.json(self._lineage_path)
             lineage_df.write.mode("overwrite").parquet(
                 os.path.join(self.out_dir, "lineage_table")
             )
+        if os.path.exists(self._partition_lineage_path):
+            self.spark.read.json(self._partition_lineage_path).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.out_dir, "lineage_partitions_table"))
         return status
 
 
