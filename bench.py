@@ -69,7 +69,7 @@ def run_image_pipeline(spark, n_images: int) -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "300000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
