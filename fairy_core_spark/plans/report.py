@@ -34,7 +34,12 @@ from fairy_core_spark.plans.provenance import (
     table_fingerprint,
 )
 from fairy_core_spark.rulepack.loader import Rulepack, rulepack_from_dict
-from fairy_core_spark.sources.tables import ROW_ID, read_input, with_row_id_by_order
+from fairy_core_spark.sources.tables import (
+    ROW_ID,
+    read_input,
+    with_row_id_by_order,
+    with_row_id_ingest,
+)
 
 
 def _now_iso() -> str:
@@ -62,13 +67,26 @@ def run_rulepack(
     now_iso = fixed_timestamp_or(now_iso or _now_iso())
 
     loaded: dict[str, DataFrame] = {}
+    raw_cached: list[DataFrame] = []
     for name, path in inputs_map.items():
         if frames and name in frames:
             df = frames[name]
             if ROW_ID not in df.columns:
                 df = with_row_id_by_order(df)
         else:
-            df = read_input(spark, path, row_id=True)
+            # cache the raw parse first: row-id assignment needs a counts
+            # pass + a main pass, and CSV parsing is the expensive part —
+            # one parse, not two (parquet barely cares, CSV is ~2x)
+            raw = read_input(spark, path, row_id=False).cache()
+            df = with_row_id_ingest(raw)
+            raw_cached.append(raw)
+        # a single mid-size CSV yields few input splits — rebalance so the
+        # fused agg + evidence passes use every core. Safe after row-id
+        # assignment: __row_id is attached in file order and every evidence
+        # list re-sorts by it explicitly.
+        n_part = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n_part:
+            df = df.repartition(n_part)
         loaded[name] = df.cache()  # each input is scanned by fused agg + evidence passes
 
     # ---- attestation (reference :131-170); file hash driver-side for real
@@ -142,15 +160,24 @@ def run_rulepack(
         if agg_exprs:
             aggs = df.agg(*agg_exprs).collect()[0].asDict()
 
-        resource_rules = []
-        for cr in compiled:
+        def _finalize_one(cr: CompiledRule) -> tuple[str, dict]:
             if cr.error is not None:
-                status, evidence = cr.error
-            else:
-                try:
-                    status, evidence = cr.finalize(aggs, ctx)
-                except Exception as e:  # runtime_error contract (:277-278)
-                    status, evidence = "FAIL", {"error": "runtime_error", "message": str(e)}
+                return cr.error
+            try:
+                return cr.finalize(aggs, ctx)
+            except Exception as e:  # runtime_error contract (:277-278)
+                return "FAIL", {"error": "runtime_error", "message": str(e)}
+
+        # evidence jobs are independent filter+sort+limit actions over the
+        # cached input — run them as concurrent Spark jobs (threads), the
+        # report keeps rule order via ex.map. ~2x on multi-failing packs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(compiled)))) as ex:
+            finalized = list(ex.map(_finalize_one, compiled))
+
+        resource_rules = []
+        for cr, (status, evidence) in zip(compiled, finalized):
             resource_rules.append(
                 {
                     "id": cr.rule.id,
@@ -166,6 +193,8 @@ def run_rulepack(
         report["resources"].append({"name": name, "path": str(path), "rules": resource_rules})
 
     for df in loaded.values():
+        df.unpersist()
+    for df in raw_cached:
         df.unpersist()
     return report
 

@@ -55,6 +55,11 @@ def get_spark(
         # JVM<->Python transfer buffers ~7MB and was measured 5x faster
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
+        # 32MB input splits: a lone mid-size CSV/parquet otherwise parses
+        # on 1-2 tasks (128MB default) and starves the other cores; at
+        # cluster scale inputs span thousands of files and this matters
+        # less, but it never hurts parallelism
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")

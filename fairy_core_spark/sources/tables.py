@@ -55,35 +55,31 @@ def with_row_id_ingest(df: DataFrame) -> DataFrame:
 
     Deterministic for a fixed snapshot: Spark assigns input-split partitions
     in (file, byte-offset) order, and row order within a split is the file
-    order. Two jobs: a count per partition, then the main pass.
+    order. Fully JVM-side (no python roundtrip): `monotonically_increasing_id`
+    is documented as `partition_id << 33 | intra_partition_counter`, so its
+    low 33 bits ARE the within-partition file order; cumulative partition
+    offsets come from one cheap count pass and join back via broadcast.
     """
-    pid_df = df.withColumn("__pid", F.spark_partition_id())
+    pid_df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
     counts = (
         pid_df.groupBy("__pid").count().orderBy("__pid").collect()
     )  # tiny: one row per partition
-    offsets = {}
-    acc = 0
+    spark = df.sparkSession
+    rows, acc = [], 0
     for row in counts:
-        offsets[row["__pid"]] = acc
+        rows.append((int(row["__pid"]), acc))
         acc += row["count"]
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(list(pid_df.schema.fields) + [StructField(ROW_ID, LongType())])
-    off = offsets  # plain dict, small, captured by closure
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = {}
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            start = local.get(pid, off.get(pid, 0))
-            pdf[ROW_ID] = range(start + 1, start + 1 + len(pdf))
-            local[pid] = start + len(pdf)
-            yield pdf
-
-    return pid_df.mapInPandas(assign, schema=out_schema).drop("__pid")
+    if not rows:
+        rows = [(0, 0)]
+    off_df = spark.createDataFrame(rows, schema="__pid int, __off long")
+    intra = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        pid_df.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(ROW_ID, F.coalesce(F.col("__off"), F.lit(0)) + intra + 1)
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def read_input(
