@@ -57,10 +57,14 @@ def run_image_pipeline(spark, n_images: int) -> dict:
         geo = spark.read.parquet(f"{tmp}/geo")
         polys = polygons_pdf(100)
 
-        _force(north_pipeline(images, geo, polys))  # JIT warm-up, discarded
-        t0 = time.monotonic()
-        _force(north_pipeline(images, geo, polys))
-        wall = time.monotonic() - t0
+        for _ in range(2):  # JIT warm-ups, discarded (C2 needs 2-3 runs)
+            _force(north_pipeline(images, geo, polys))
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            _force(north_pipeline(images, geo, polys))
+            walls.append(time.monotonic() - t0)
+        wall = min(walls)
         return {"pipeline_sec": round(wall, 3), "images_per_sec": round(n_images / wall, 1)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
