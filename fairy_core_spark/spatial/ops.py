@@ -94,17 +94,19 @@ def spatial_annotate_broadcast(
     polygons_pdf: pd.DataFrame,
     lat_col: str = "lat",
     lon_col: str = "lon",
-    out: str = "polygon_id",
+    out: str = "polygon_ids",
 ) -> DataFrame:
-    """Left-join flavored broadcast PIP: every input row kept, with a
-    ``polygon_id`` column (null = contained by no polygon; a row contained
-    by k polygons appears k times). Same containment semantics as
-    :func:`spatial_join_broadcast`, but it carries the full row through so
+    """Broadcast PIP as a row-preserving annotation: every input row kept
+    exactly once, with a ``polygon_ids: array<string>`` column of the
+    containing polygons (empty = contained by none). Same containment
+    semantics as :func:`spatial_join_broadcast` (explode the array to get
+    the pair set — tested equal), but it carries the full row through so
     validate -> encode -> PIP -> tile composes into ONE linear plan with
-    no persist/double-scan (the bench/pipeline hot path)."""
+    no persist/double-scan and no row multiplication (the pipeline hot
+    path: downstream rollups stay plain count/avg aggregates)."""
     index = BBoxGridIndex(_rings_dict(polygons_pdf))
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{in_schema}, {out} string"
+    schema = f"{in_schema}, {out} array<string>"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -113,32 +115,38 @@ def spatial_annotate_broadcast(
             lat = pdf[lat_col].to_numpy(np.float64)
             lon = pdf[lon_col].to_numpy(np.float64)
             pairs = index.contains_batch(lat, lon)
-            if not pairs:
-                res = pdf.copy()
-                res[out] = None
-                yield res
-                continue
-            ii = np.fromiter((i for i, _ in pairs), dtype=np.int64, count=len(pairs))
-            matched = np.zeros(len(pdf), dtype=bool)
-            matched[ii] = True
-            unmatched = pdf.loc[~matched].copy()
-            unmatched[out] = None
-            hits = pdf.iloc[ii].copy()
-            hits[out] = [p for _, p in pairs]
-            yield pd.concat([unmatched, hits], ignore_index=True)
+            lists: list[list[str]] = [[] for _ in range(len(pdf))]
+            for i, pid in pairs:
+                lists[i].append(pid)
+            res = pdf.copy()
+            res[out] = lists
+            yield res
 
     return df.mapInPandas(run, schema=schema)
 
 
 def tile_aggregates_annotated(tiled: DataFrame) -> DataFrame:
-    """per-tile rollup over PIP-annotated rows (rows may repeat per
-    polygon): distinct image count, mean dims, phash dups, PIP matches."""
-    return tiled.groupBy("tile_id").agg(
-        F.countDistinct("image_id").alias("n_images"),
-        F.round(F.avg("w"), 4).alias("avg_w"),
-        F.round(F.avg("h"), 4).alias("avg_h"),
-        (F.countDistinct("phash") * -1 + F.countDistinct("image_id")).alias("n_phash_dups"),
-        F.count("polygon_id").alias("n_pip_matches"),
+    """per-tile rollup over PIP-annotated rows (one row per image): image
+    count, mean dims, exact phash dup count, PIP match count.
+
+    Exact distinct WITHOUT countDistinct: a single multi-countDistinct
+    rollup plans an Expand (rows x distinct-aggs) and an HLL sketch per
+    group is worse here (tiles hold ~1-3 images, sketches are KBs). The
+    scalable exact pattern is two-level: pre-aggregate by (tile, phash) —
+    map-side combine collapses dup hashes before the shuffle — then roll
+    tiles up from partial sums. Every stage is partial-aggregable."""
+    lvl1 = tiled.groupBy("tile_id", "phash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("w").alias("sw"),
+        F.sum("h").alias("sh"),
+        F.sum(F.size("polygon_ids")).alias("sp"),
+    )
+    return lvl1.groupBy("tile_id").agg(
+        F.sum("cnt").alias("n_images"),
+        F.round(F.sum("sw") / F.sum("cnt"), 4).alias("avg_w"),
+        F.round(F.sum("sh") / F.sum("cnt"), 4).alias("avg_h"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("n_phash_dups"),
+        F.sum("sp").alias("n_pip_matches"),
     )
 
 

@@ -118,7 +118,21 @@ def run_config(cpus: int, n_images: int, runs: int, inp: str, pin: bool = True) 
     raise RuntimeError(f"no RESULT from cpus={cpus}: {out.stdout[-500:]} {out.stderr[-2000:]}")
 
 
+def _quiet_thp() -> None:
+    """Best-effort: disable transparent-huge-page background compaction.
+    khugepaged/kcompactd churn was measured to cause multi-second stalls
+    and 3x run-to-run variance on this VM (threads parked in D-state
+    during compaction); real clusters tune this at provisioning time."""
+    for knob in ("enabled", "defrag"):
+        try:
+            with open(f"/sys/kernel/mm/transparent_hugepage/{knob}", "w") as f:
+                f.write("never")
+        except OSError:
+            pass
+
+
 def main() -> int:
+    _quiet_thp()
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 4

@@ -116,3 +116,23 @@ def test_with_cell_udf_matches_numpy(spark, points_pdf):
     lat = np.array([r["lat"] for r in rows])
     lon = np.array([r["lon"] for r in rows])
     assert (np.array([r["cell"] for r in rows]) == s2.cell_id(lat, lon, 12)).all()
+
+
+def test_pip_annotate_matches_join(spark, points_pdf, polys):
+    """spatial_annotate_broadcast (row-preserving array form) must produce
+    the same containment pair set as spatial_join_broadcast when exploded,
+    keep every input row exactly once, and emit [] on uncontained rows."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import spatial_annotate_broadcast
+
+    points = spark.createDataFrame(points_pdf)
+    ann = spatial_annotate_broadcast(points, polys)
+    rows = ann.collect()
+    assert len(rows) == len(points_pdf)
+    assert sorted(r["image_id"] for r in rows) == sorted(points_pdf["image_id"])
+    got = {
+        (r["image_id"], r["polygon_id"])
+        for r in ann.select("image_id", F.explode("polygon_ids").alias("polygon_id")).collect()
+    }
+    assert got == brute_force_pip(points_pdf, polys)
