@@ -73,8 +73,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "rule_required_nullish",
     """
     SELECT
-      SUM(CASE WHEN c_name IS NULL OR TRIM(CAST(c_name AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS n_bad_name,
-      SUM(CASE WHEN c_mktsegment IS NULL OR TRIM(CAST(c_mktsegment AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS n_bad_segment,
+      CAST(SUM(CASE WHEN c_name IS NULL OR TRIM(CAST(c_name AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_name,
+      CAST(SUM(CASE WHEN c_mktsegment IS NULL OR TRIM(CAST(c_mktsegment AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_segment,
       COUNT(*) AS n_rows
     FROM customer
     """,
@@ -221,8 +221,8 @@ def rule_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule_regex_fullmatch",
     """
     SELECT
-      SUM(CASE WHEN NOT regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 1 ELSE 0 END) AS n_bad_format,
-      SUM(CASE WHEN regexp_matches(c_name, '#000') THEN 1 ELSE 0 END) AS n_forbidden,
+      CAST(SUM(CASE WHEN NOT regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_format,
+      CAST(SUM(CASE WHEN regexp_matches(c_name, '#000') THEN 1 ELSE 0 END) AS BIGINT) AS n_forbidden,
       COUNT(*) AS n_rows
     FROM customer
     """,
@@ -259,7 +259,7 @@ def rule_regex_fullmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- reference _url_syntax_ok semantics (rulepack_runner.py:639-660)
            -- evaluated per class: www.-> https:// prefix valid; https valid;
            -- ftp scheme not allowed; empty has no scheme
-           SUM(CASE WHEN url_class IN (0, 1) THEN 0 ELSE 1 END) AS n_invalid,
+           CAST(SUM(CASE WHEN url_class IN (0, 1) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
            COUNT(*) AS n
     FROM u GROUP BY url_class
     """,
@@ -292,8 +292,8 @@ def rule_url_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule_non_empty_trimmed",
     """
     SELECT
-      SUM(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END) AS n_blank_text,
-      SUM(CASE WHEN props IS NULL OR LENGTH(TRIM(props)) = 0 THEN 1 ELSE 0 END) AS n_blank_props
+      CAST(SUM(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_text,
+      CAST(SUM(CASE WHEN props IS NULL OR LENGTH(TRIM(props)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_props
     FROM documents, events
     WHERE doc_id = event_id % 500
     """,
@@ -315,8 +315,8 @@ def rule_non_empty_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule_dates_iso8601",
     """
     SELECT
-      SUM(CASE WHEN NOT regexp_full_match(strftime(o_orderdate, '%Y-%m-%d'), '\\d{4}-\\d{2}-\\d{2}')
-               THEN 1 ELSE 0 END) AS n_bad_dates,
+      CAST(SUM(CASE WHEN NOT regexp_full_match(strftime(o_orderdate, '%Y-%m-%d'), '\\d{4}-\\d{2}-\\d{2}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dates,
       COUNT(*) AS n_rows
     FROM orders
     """,
@@ -489,7 +489,7 @@ def window_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_users",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+           CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM (
       SELECT user_id,
              EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s

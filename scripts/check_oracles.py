@@ -21,12 +21,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-        # duckdb returns decimals/ints that pandas may type differently
-        if df[c].dtype == object:
-            try:
-                df[c] = pd.to_numeric(df[c])
-            except (ValueError, TypeError):
-                pass
+        # The driver's value hash is insensitive to integer *width* (int32
+        # row_number vs int64 passed round 1) but NOT to int-vs-object/float
+        # (HUGEINT failed round 1). Mirror that: widen ints, keep class.
+        elif str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -77,8 +76,19 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
+        # Strict dtype parity: the driver hashes values, and a DuckDB
+        # HUGEINT/DECIMAL column hashes differently from Spark's BIGINT even
+        # when every value is equal (round-1 failure class). Surface it here.
+        dt_bad = [
+            (c, str(a[c].dtype), str(b[c].dtype))
+            for c in a.columns
+            if str(a[c].dtype) != str(b[c].dtype)
+        ]
+        if dt_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype mismatch {dt_bad}")
+            continue
         if not a.equals(b):
-            # tolerate dtype-only diffs by value comparison
             eq = True
             for c in a.columns:
                 av, bv = a[c].tolist(), b[c].tolist()
