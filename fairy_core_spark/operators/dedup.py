@@ -4,11 +4,11 @@ Five families, each expressed Spark-first:
 
 - **exact**: md5/xxhash groupBy — one shuffle on the content hash; the
   keep-first rule reuses the engine's dup semantics (min row id / doc id).
-- **MinHash + LSH**: shingle -> xxhash64 -> k permutations ((a*h+b) mod p)
+- **MinHash + LSH**: shingle -> md5-60bit -> k permutations ((a*h+b) mod p)
   -> band buckets -> candidate pairs via a self-equi-join on (band, value).
   Entirely native Column expressions (array transforms), no Python.
-- **SimHash**: 64-bit sign-aggregated token hashes, Arrow pandas_udf
-  (numpy); near-dups via Hamming<=k on banded self-join.
+- **SimHash**: 64-bit sign-aggregated md5 token hashes, fully native
+  (explode + 64 conditional sums); near-dups via Hamming<=k banded self-join.
 - **n-gram Jaccard**: blocked pairwise token-set Jaccard — native
   array_intersect/array_distinct; block key bounds the pair blow-up.
 - **embedding cosine**: near-dup pairs above a cosine threshold, blocked by
@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +41,14 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [
         (int(rng.integers(1, _MERSENNE_P)), int(rng.integers(0, _MERSENNE_P))) for _ in range(k)
     ]
+
+
+def _md5_60(col: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 — chosen over
+    xxhash64 because md5 is bit-identical in every engine (the DuckDB
+    correctness oracle replays it as ('0x'||substring(md5(x),1,15))::BIGINT),
+    while xxhash64 exists only in Spark. Still one JVM-native hash per value."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -76,7 +83,7 @@ def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Co
     so the shingle-hash subtree appears exactly once in the expression tree
     (building num_perm separate array_min exprs inlines — and re-executes —
     the shingling num_perm times; that was a 50x slowdown)."""
-    hs = F.transform(shingles(col, shingle_n), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+    hs = F.transform(shingles(col, shingle_n), lambda s: _md5_60(s) % _MERSENNE_P)
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -114,7 +121,7 @@ def minhash_signatures_df(
     hs = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: _md5_60(s) % _MERSENNE_P)
         ).alias("h"),
     )
     perms = hs.select(
@@ -177,44 +184,52 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def simhash64(col_name: str, out_name: str = "simhash"):
-    """64-bit SimHash over whitespace tokens (Arrow pandas_udf, numpy):
-    bit k of the hash is the sign of sum over tokens of (+1/-1) for token-
-    hash bit k. Token hash = FNV-1a 64 (self-contained, no JVM dependency)."""
-    from pyspark.sql.types import LongType
+_MIN_LONG = -9223372036854775808
 
-    FNV_OFF = np.uint64(14695981039346656037)
-    FNV_PRIME = np.uint64(1099511628211)
-    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    def _fnv(tok: str) -> np.uint64:
-        h = FNV_OFF
-        for byte in tok.encode("utf-8"):
-            h = ((h ^ np.uint64(byte)) * FNV_PRIME) & MASK
-        return h
+def _token_hash64(tok: Column) -> Column:
+    """64-bit token hash from two 32-bit md5 hex halves — fully native and
+    engine-portable (the DuckDB oracle rebuilds the same value as
+    (hi - 2^32 when hi >= 2^31) * 2^32 + lo, identical two's-complement)."""
+    hi = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    @F.pandas_udf(LongType())
-    def _simhash(s: pd.Series) -> pd.Series:
-        np.seterr(over="ignore")  # uint64 wrap-around is the hash definition
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, txt in enumerate(s):
-            if not txt:
-                continue
-            toks = txt.split()
-            if not toks:
-                continue
-            hs = np.fromiter((_fnv(t) for t in toks), dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            v = np.uint64(0)
-            for k in np.nonzero(acc > 0)[0]:
-                v |= np.uint64(1) << np.uint64(k)
-            out[i] = np.int64(v.astype(np.int64))
-        return pd.Series(out)
 
-    return _simhash(F.col(col_name)).alias(out_name)
+def simhash_df(
+    df: DataFrame, text_col: str, id_col: str, out_name: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per document, zero Python (replaces the round-1
+    pandas_udf whose per-byte FNV loop would dominate a 100 TB scan):
+    explode whitespace tokens -> native md5-derived 64-bit hash -> one
+    groupBy(id) with 64 conditional +/-1 sums (all whole-stage codegen,
+    map-side combined: the shuffle carries 64 longs per (id, partition)) ->
+    sign-bit assembly. Bit k is set iff sum over tokens of (+1 if token-hash
+    bit k else -1) > 0. Empty/blank/null docs hash to 0."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    ).select("id", _token_hash64(F.col("tok")).alias("h"))
+    # null token rows (blank docs) fall through every WHEN to -1: no bit wins
+    sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    # bit 63 is the sign bit: 1<<63 overflows signed 64, so add min-long
+    sim = sim + F.when(F.col("s63") > 0, F.lit(_MIN_LONG)).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col("id").alias(id_col), sim.alias(out_name))
 
 
 def ngram_jaccard_pairs(

@@ -65,14 +65,25 @@ def train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, seed: int
                     iters: int = 3) -> np.ndarray:
     """Tiny driver-side k-means on a bounded sample (Lloyd iterations in
     numpy). The sample is capped — at 10^12 rows this still reads one
-    sampled pass, never the full corpus onto the driver."""
+    sampled pass, never the full corpus onto the driver.
+
+    Sampling is a real Bernoulli fraction sized from a count pass (a
+    fraction-1.0 `.sample().limit()` is a no-op that takes the first
+    partitions — on clustered/sorted input that yields locality-correlated
+    centroids and IVF recall collapses at scale)."""
+    target = max(2000, 50 * n_centroids)
+    n = corpus.count()
+    frac = min(1.0, (1.5 * target) / max(n, 1))  # oversample, then cap
     sample = (
         corpus.select(vec_col)
-        .sample(False, 1.0, seed)
-        .limit(max(2000, 50 * n_centroids))
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(target)
         .collect()
     )
     x = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(x) < n_centroids:  # degenerate tiny corpus: take everything
+        x = np.array([r[0] for r in corpus.select(vec_col).limit(target).collect()],
+                     dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), n_centroids, replace=False)]
     for _ in range(iters):

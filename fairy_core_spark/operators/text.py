@@ -105,20 +105,31 @@ def doc_fingerprint(col_name: str = "text", out_name: str = "fingerprint"):
     B = np.uint64(1000003)
     MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+    SEED = np.uint64(1469598103934665603)
+
     @F.pandas_udf(LongType())
     def _fp(s: pd.Series) -> pd.Series:
         np.seterr(over="ignore")  # uint64 wrap-around is the hash definition
         out = np.zeros(len(s), dtype=np.uint64)
-        for i, txt in enumerate(s):
-            if txt is None:
+        # Horner closed form: h = seed*B^n + sum(v_i * B^(n-1-i)) mod 2^64.
+        # One shared power table per batch (cumprod wraps mod 2^64), then a
+        # vectorized multiply-accumulate per doc — no per-byte Python. This
+        # replaced a scalar loop that was the round-1 throughput bottleneck.
+        texts = [None if t is None else t.encode("utf-8") for t in s]
+        max_n = max((len(t) for t in texts if t is not None), default=0)
+        pows = np.ones(max_n + 1, dtype=np.uint64)
+        if max_n:
+            np.cumprod(np.full(max_n, B, dtype=np.uint64), out=pows[1:])
+        for i, raw in enumerate(texts):
+            if raw is None:
                 continue
-            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = np.uint64(1469598103934665603)
-            # horner scheme, vectorized in chunks to bound Python looping
-            for chunk in np.array_split(b, max(1, len(b) // 4096)):
-                for v in chunk:  # numpy scalars; wraps mod 2^64
-                    h = ((h * B) + v) & MASK
-            out[i] = h
+            v = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            n = len(v)
+            if n == 0:
+                out[i] = SEED
+                continue
+            h = SEED * pows[n] + (v * pows[n - 1 :: -1]).sum(dtype=np.uint64)
+            out[i] = h & MASK
         return pd.Series(out.astype(np.int64))
 
     return _fp(F.col(col_name)).alias(out_name)

@@ -56,7 +56,7 @@ def test_ngram_jaccard_blocked(spark, docs):
 
 
 def test_simhash_locality(spark, docs):
-    rows = {r["doc_id"]: r["simhash"] for r in docs.select("doc_id", dedup.simhash64("text")).collect()}
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs, "text", "doc_id").collect()}
     from fairy_core_spark.functions.phash import hamming64
 
     near = hamming64(np.array([rows[1]]), np.array([rows[2]]))[0]
