@@ -66,8 +66,66 @@ def _failing_codes(report: dict) -> set[str]:
     }
 
 
+def _write_preflight_artifacts(report: dict, out_dir: str) -> None:
+    """Complete the reference's 4-artifact CLI contract
+    (tests/integration/test_cli_preflight_geo_contract.py:13-50,
+    cmd_preflight.py:231-295): preflight_report.json/.md are written by
+    write_preflight_outputs; this adds manifest.json +
+    artifacts/inputs_manifest.json."""
+    from fairy_core_spark.plans.manifest import build_manifest_v1
+    from fairy_core_spark.plans.provenance import sha256_file
+    from fairy_core_spark.plans.report import ENGINE_VERSION
+
+    # inputs manifest (cmd_preflight.py:148-175)
+    inputs_md = report.get("metadata", {}).get("inputs", {})
+    payload = {
+        "schema_version": "inputs-manifest/v0",
+        "inputs": [
+            {
+                "name": name,
+                "path": (inputs_md.get(name) or {}).get("path"),
+                "sha256": (inputs_md.get(name) or {}).get("sha256"),
+            }
+            for name in ("samples", "files")
+        ],
+    }
+    art_dir = os.path.join(out_dir, "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    im_path = os.path.join(art_dir, "inputs_manifest.json")
+    with open(im_path, "w") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=2, sort_keys=True)
+
+    rp_meta = report.get("metadata", {}).get("rulepack", {})
+    report_path = os.path.join(out_dir, "preflight_report.json")
+    md_path = os.path.join(out_dir, "preflight_report.md")
+    files_list = [
+        {"path": "preflight_report.json", "sha256": sha256_file(report_path)},
+        {"path": "preflight_report.md", "sha256": sha256_file(md_path)},
+        {"path": "artifacts/inputs_manifest.json", "sha256": sha256_file(im_path)},
+    ]
+    manifest = build_manifest_v1(
+        dataset_id=report["dataset_id"],
+        engine_version=ENGINE_VERSION,
+        source_report="preflight_report.json",
+        rulepack_id=rp_meta.get("id") or "UNKNOWN_RULEPACK",
+        rulepack_version=rp_meta.get("version") or "0.0.0",
+        files=files_list,
+        created_at_utc=report["generated_at"],
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=2, sort_keys=True)
+
+
 def cmd_preflight(args) -> int:
-    from fairy_core_spark.plans.preflight_report import run_preflight, write_preflight_outputs
+    from fairy_core_spark.plans.preflight_profiles import run_profile
+    from fairy_core_spark.plans.preflight_report import write_preflight_outputs
+
+    # hard-fail before creating out_dir if an input path is missing
+    # (reference contract test: missing --files must not create out_dir)
+    for p in (args.samples, args.files, args.rulepack):
+        if not os.path.exists(p):
+            print(f"error: input not found: {p}", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="fairy-preflight", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,11 +137,25 @@ def cmd_preflight(args) -> int:
 
         with open(args.param_file) as f:
             params = yaml.safe_load(f) or {}
-    report = run_preflight(
-        spark, rulepack, args.rulepack, args.samples, args.files, params=params
-    )
+    from fairy_core_spark.plans.preflight_profiles import ProfileNotFoundError, get_registry
+
+    try:
+        report = run_profile(
+            args.profile,
+            spark=spark,
+            rulepack=rulepack,
+            rulepack_path=args.rulepack,
+            inputs={"samples": args.samples, "files": args.files,
+                    "input_01": args.samples, "input_02": args.files},
+            params=params,
+        )
+    except ProfileNotFoundError as e:
+        ids = ", ".join(get_registry().list_profile_ids())
+        print(f"error: {e} (available: {ids})", file=sys.stderr)
+        return 2
     out_dir = args.out_dir or "."
     write_preflight_outputs(report, out_dir)
+    _write_preflight_artifacts(report, out_dir)
 
     # resolved-codes diff vs the previous run (cmd_preflight.py:106-118)
     cache_path = os.path.join(out_dir, ".fairy_last_run.json")
@@ -134,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files", required=True)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--param-file", default=None)
+    p.add_argument(
+        "profile",
+        nargs="?",
+        default="geo",
+        help="preflight profile id (geo | spellbook | generic; ADR-0007)",
+    )
     p.set_defaults(fn=cmd_preflight)
 
     pl = sub.add_parser("pipeline", help="image validate->encode->join->tile job")

@@ -23,6 +23,7 @@ distinct+left-anti joins (broadcast when the right side is small).
 
 from __future__ import annotations
 
+import os
 import re as _re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -186,20 +187,37 @@ class CompiledRule:
 class RuleContext:
     df: DataFrame  # table with ROW_ID
     frames: dict[str, DataFrame]
-    max_evidence_rows: int = 100_000
+    # driver-side evidence cap. Deliberately small (the reference caps report
+    # evidence at 10/20/50 rows): a wide-failure rulepack collecting 100k rows
+    # x 20 rules would pressure the driver. Full evidence is never lost — when
+    # the cap is hit and evidence_out is set, the complete set is written as a
+    # distributed parquet table instead (no collect).
+    max_evidence_rows: int = 10_000
+    evidence_out: str | None = None
+    current_rule: str = ""
+    truncated: list[str] = field(default_factory=list)
 
     def collect_rows(self, pred, extra_cols: list[str] | None = None) -> list[dict]:
         """Sorted, capped evidence pass: the only non-aggregate scan, run
-        per failing rule only."""
+        per failing rule only. On cap overflow the full evidence is routed
+        to the ``evidence_out`` parquet sink, distributed."""
         cols = [F.col(ROW_ID)] + [_s(c).alias(c) for c in (extra_cols or [])]
-        rows = (
-            self.df.where(pred)
-            .select(*cols)
-            .orderBy(ROW_ID)
-            .limit(self.max_evidence_rows)
-            .collect()
-        )
+        base = self.df.where(pred).select(*cols)
+        rows = base.orderBy(ROW_ID).limit(self.max_evidence_rows).collect()
+        if len(rows) >= self.max_evidence_rows:
+            self.sink_overflow(base)
         return [r.asDict() for r in rows]
+
+    def sink_overflow(self, full_df: DataFrame) -> None:
+        """Record cap overflow for the current rule; write the complete
+        evidence set executor-side when a sink is configured."""
+        rid = self.current_rule or "rule"
+        if self.evidence_out:
+            full_df.write.mode("overwrite").parquet(
+                os.path.join(self.evidence_out, f"rule={rid}")
+            )
+        if rid not in self.truncated:
+            self.truncated.append(rid)
 
 
 def _remediation(ctx: RuleContext, pred, rows_1based: list[int], rule: Rule) -> dict | None:
@@ -294,6 +312,8 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                 .limit(ctx.max_evidence_rows)
                 .collect()
             ]
+            if len(rows) >= ctx.max_evidence_rows:
+                ctx.sink_overflow(marked.where("__is_dup").select(ROW_ID))
             ev: dict[str, Any] = {"duplicates": [{"rows": rows}], "count": len(rows)}
             rem_col = _rule.config.get("remediation_link_column")
             if rem_col and rem_col in ctx.df.columns:
@@ -342,13 +362,10 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                 for i, _ in enumerate(bad_cols):
                     p = F.col(f"f{i}")
                     any_bad = p if any_bad is None else (any_bad | p)
-                got = (
-                    ctx.df.select(F.col(ROW_ID), *flags)
-                    .where(any_bad)
-                    .orderBy(ROW_ID)
-                    .limit(ctx.max_evidence_rows)
-                    .collect()
-                )
+                base = ctx.df.select(F.col(ROW_ID), *flags).where(any_bad)
+                got = base.orderBy(ROW_ID).limit(ctx.max_evidence_rows).collect()
+                if len(got) >= ctx.max_evidence_rows:
+                    ctx.sink_overflow(base)
                 rows_by_col: dict[str, list[int]] = {c: [] for c in bad_cols}
                 for r in got:
                     for i, c in enumerate(bad_cols):

@@ -16,6 +16,7 @@ each partition's validation outcome can be shared/consumed independently at
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as _dt
 import json
 import os
@@ -53,8 +54,9 @@ def run_rulepack(
     rp_path: str = "",
     now_iso: str | None = None,
     params: dict[str, Any] | None = None,
-    max_evidence_rows: int = 100_000,
+    max_evidence_rows: int = 10_000,
     frames: dict[str, DataFrame] | None = None,
+    evidence_out: str | None = None,
 ) -> dict[str, Any]:
     """Validate named inputs against a rulepack; return the report dict.
 
@@ -143,7 +145,12 @@ def run_rulepack(
 
     for name, path in inputs_map.items():
         df = loaded[name]
-        ctx = RuleContext(df=df, frames=loaded, max_evidence_rows=max_evidence_rows)
+        ctx = RuleContext(
+            df=df,
+            frames=loaded,
+            max_evidence_rows=max_evidence_rows,
+            evidence_out=evidence_out,
+        )
         filename = os.path.basename(str(path))
         rules = rulepack.rules_for(name, filename)
 
@@ -164,7 +171,10 @@ def run_rulepack(
             if cr.error is not None:
                 return cr.error
             try:
-                return cr.finalize(aggs, ctx)
+                # per-rule context clone (finalizers run concurrently): the
+                # truncated list object is shared, current_rule is private
+                rctx = dataclasses.replace(ctx, current_rule=cr.rule.id)
+                return cr.finalize(aggs, rctx)
             except Exception as e:  # runtime_error contract (:277-278)
                 return "FAIL", {"error": "runtime_error", "message": str(e)}
 
@@ -190,7 +200,13 @@ def run_rulepack(
             k = "fail" if status == "FAIL" else ("warn" if status == "WARN" else "pass")
             report["summary"][k] += 1
 
-        report["resources"].append({"name": name, "path": str(path), "rules": resource_rules})
+        resource = {"name": name, "path": str(path), "rules": resource_rules}
+        if ctx.truncated:
+            resource["evidence_truncated"] = {
+                "rules": sorted(ctx.truncated),
+                "evidence_out": evidence_out,
+            }
+        report["resources"].append(resource)
 
     for df in loaded.values():
         df.unpersist()
