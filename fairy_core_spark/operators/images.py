@@ -120,13 +120,19 @@ def with_image_checks(
                 flags["phash_ok"][idxs] = phash64_stack(stack) == phashes[idxs]
                 refs = np.zeros_like(stack)
                 have_ref = np.ones(len(idx_list), dtype=bool)
+                bad_ref = np.zeros(len(idx_list), dtype=bool)
                 if reference_pixels is make_pixels_reference:
                     refs = make_pixels_stack([_src_id(ids[i]) for i in idx_list], w, h)
                 else:
                     for j, i in enumerate(idx_list):
                         r = reference_pixels(_src_id(ids[i]), w, h)
                         if r is None:
+                            have_ref[j] = False  # no reference: pass by default
+                        elif r.shape != stack[j].shape:
+                            # wrong-shaped reference: per-row psnr_ok=False
+                            # (scalar-path semantics), never a task-wide raise
                             have_ref[j] = False
+                            bad_ref[j] = True
                         else:
                             refs[j] = r
                 # float32 diff: exact for uint8 deltas (|d| <= 255), 8x less
@@ -138,7 +144,7 @@ def with_image_checks(
                     psnr = 10.0 * np.log10(255.0**2 / np.where(mse > 0, mse, np.nan))
                 psnr = np.where(mse == 0, np.inf, psnr)
                 ok = np.where(lossy, psnr >= PSNR_LOSSY_MIN_DB, mse == 0)
-                flags["psnr_ok"][idxs] = np.where(have_ref, ok, True)
+                flags["psnr_ok"][idxs] = np.where(have_ref, ok, ~bad_ref)
             out = pdf[out_names].copy()
             for c in CHECK_COLUMNS:
                 out[c] = flags[c]

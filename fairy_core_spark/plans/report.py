@@ -72,6 +72,10 @@ def run_rulepack(
     raw_cached: list[DataFrame] = []
     for name, path in inputs_map.items():
         if frames and name in frames:
+            # caller-provided frames keep their own partitioning: probing
+            # df.rdd here would finalize the plan under AQE (an extra job
+            # per input, e.g. the global-sort exchange on the
+            # with_row_id_by_order path) just to read a partition count
             df = frames[name]
             if ROW_ID not in df.columns:
                 df = with_row_id_by_order(df)
@@ -82,13 +86,11 @@ def run_rulepack(
             raw = read_input(spark, path, row_id=False).cache()
             df = with_row_id_ingest(raw)
             raw_cached.append(raw)
-        # a single mid-size CSV yields few input splits — rebalance so the
-        # fused agg + evidence passes use every core. Safe after row-id
-        # assignment: __row_id is attached in file order and every evidence
-        # list re-sorts by it explicitly.
-        n_part = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < n_part:
-            df = df.repartition(n_part)
+            # a single mid-size CSV yields few input splits — rebalance
+            # unconditionally so the fused agg + evidence passes use every
+            # core. Safe after row-id assignment: __row_id is attached in
+            # file order and every evidence list re-sorts by it explicitly.
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         loaded[name] = df.cache()  # each input is scanned by fused agg + evidence passes
 
     # ---- attestation (reference :131-170); file hash driver-side for real

@@ -63,18 +63,32 @@ def with_row_id_ingest(df: DataFrame) -> DataFrame:
     pid_df = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
+    mask = (1 << 33) - 1
     counts = (
-        pid_df.groupBy("__pid").count().orderBy("__pid").collect()
+        pid_df.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.max(F.col("__mid").bitwiseAND(F.lit(mask))).alias("__maxintra"))
+        .orderBy("__pid")
+        .collect()
     )  # tiny: one row per partition
     spark = df.sparkSession
     rows, acc = [], 0
     for row in counts:
+        # defend the documented low-33-bit contract: if Spark ever changed
+        # the id layout (or a partition overflowed 2^33 rows) the intra
+        # counter would no longer equal count-1 and ids would silently
+        # corrupt — fail loudly instead. Costs nothing: same counts pass.
+        if int(row["__maxintra"]) != int(row["count"]) - 1:
+            raise AssertionError(
+                "monotonically_increasing_id intra-partition contract violated "
+                f"(partition {row['__pid']}: max intra {row['__maxintra']} != "
+                f"count-1 {int(row['count']) - 1}); row-id assignment unsafe"
+            )
         rows.append((int(row["__pid"]), acc))
         acc += row["count"]
     if not rows:
         rows = [(0, 0)]
     off_df = spark.createDataFrame(rows, schema="__pid int, __off long")
-    intra = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    intra = F.col("__mid").bitwiseAND(F.lit(mask))
     return (
         pid_df.join(F.broadcast(off_df), "__pid", "left")
         .withColumn(ROW_ID, F.coalesce(F.col("__off"), F.lit(0)) + intra + 1)

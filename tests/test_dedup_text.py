@@ -100,3 +100,42 @@ def test_ivf_recall(spark):
         for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()
     }
     assert len(bf & ivf_partial) / len(bf) >= 0.5  # partial probe: decent recall
+
+
+def test_centroid_sampling_survives_clustered_order(spark):
+    """train_centroids must draw a real Bernoulli sample: with the corpus
+    range-partitioned and sorted by cluster label (worst-case locality), a
+    prefix-taking 'sample' would yield centroids from the first cluster(s)
+    only and IVF recall would collapse (round-1 defect)."""
+    import numpy as np
+
+    from fairy_core_spark.operators.similarity import train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clustered = emb.repartitionByRange(8, "label").sortWithinPartitions("label", "vec_id")
+    cent = train_centroids(clustered, "embedding", n_centroids=8)
+    assert cent.shape == (8, 64)
+
+    # nearest label-mean per centroid must span several clusters
+    import pandas as pd
+
+    pdf = emb.select("label", "embedding").toPandas()
+    means = {
+        lbl: np.mean(np.stack(g["embedding"].to_numpy()), axis=0)
+        for lbl, g in pdf.groupby("label")
+    }
+    labels = sorted(means)
+    mean_mat = np.stack([means[l] for l in labels])
+    near = {
+        labels[int(np.argmin(((mean_mat - c) ** 2).sum(axis=1)))] for c in cent
+    }
+    assert len(near) >= min(3, len(labels))  # spread, not a locality prefix
+
+    # and IVF recall with these centroids stays at the healthy-probe bar
+    q = emb.where("vec_id < 8")
+    bf = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=3).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(clustered, q, k=3, n_centroids=8, n_probe=3, centroids=cent).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.5

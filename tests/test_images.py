@@ -95,3 +95,26 @@ def test_phash_hamming_near_dup():
 def test_synth_row_deterministic():
     r1, r2 = synth_image_row(123), synth_image_row(123)
     assert r1 == r2
+
+
+def test_custom_reference_shape_mismatch_is_per_row(spark):
+    """A custom reference_pixels returning a wrong-shaped array must mark
+    that row psnr_ok=False (scalar-path semantics), never raise inside the
+    Arrow UDF and fail the whole task; a None reference passes by default."""
+    imgs = images_df(spark, 40, partitions=2)
+
+    def bad_shape_ref(image_id, w, h):
+        if image_id.endswith("1"):
+            return np.zeros((h + 1, w, 3), dtype=np.uint8)  # wrong shape
+        if image_id.endswith("2"):
+            return None  # no reference
+        return make_pixels(image_id, w, h)
+
+    out = with_image_checks(imgs, reference_pixels=bad_shape_ref)
+    rows = {r["image_id"]: r["psnr_ok"] for r in out.collect()}
+    assert rows  # ran without task failure
+    for iid, ok in rows.items():
+        if iid.endswith("1"):
+            assert not ok, f"{iid}: wrong-shape reference must fail psnr"
+        else:
+            assert ok, f"{iid}: clean/None reference must pass"
