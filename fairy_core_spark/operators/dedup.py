@@ -22,7 +22,7 @@ the only tunables are n_bands/rows-per-band and block key cardinality.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -197,39 +197,54 @@ def _token_hash64(tok: Column) -> Column:
 
 
 def simhash_df(
-    df: DataFrame, text_col: str, id_col: str, out_name: str = "simhash"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_name: str = "simhash",
+    token_hash: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document, zero Python (replaces the round-1
     pandas_udf whose per-byte FNV loop would dominate a 100 TB scan):
-    explode whitespace tokens -> native md5-derived 64-bit hash -> one
-    groupBy(id) with 64 conditional +/-1 sums (all whole-stage codegen,
-    map-side combined: the shuffle carries 64 longs per (id, partition)) ->
-    sign-bit assembly. Bit k is set iff sum over tokens of (+1 if token-hash
-    bit k else -1) > 0. Empty/blank/null docs hash to 0."""
+    explode whitespace tokens -> native 64-bit token hash -> one groupBy(id)
+    with 64 plain bit sums + a count (all whole-stage codegen, map-side
+    combined: the shuffle carries 65 longs per (id, partition)) -> bit
+    assembly via one zip_with/aggregate over a literal power array.
+
+    Bit k is set iff ones(k) > zeros(k), i.e. 2*sum(bit_k) > n — plain sums
+    beat conditional +/-1 sums ~25% and are equally DuckDB-replayable.
+    Empty/blank/null docs hash to 0.
+
+    ``token_hash`` defaults to the md5-derived hash (cross-engine
+    verifiable — the driver's DuckDB oracle replays it); pass
+    ``lambda c: F.xxhash64(c)`` for ~2x faster hashing when oracle parity
+    is not needed (pure JVM xxhash vs md5 hex + conv)."""
+    hash_fn = token_hash or _token_hash64
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
-    ).select("id", _token_hash64(F.col("tok")).alias("h"))
-    # null token rows (blank docs) fall through every WHEN to -1: no bit wins
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
+    # null token rows (blank docs) contribute no bits: count(h)=0, sums null
     sums = exploded.groupBy("id").agg(
+        F.count("h").alias("n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"s{i}")
+            F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
             for i in range(64)
-        ]
+        ],
     )
-    sim = F.lit(0).cast("long")
-    for i in range(63):
-        sim = sim + F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    # bit 63 is the sign bit: 1<<63 overflows signed 64, so add min-long
-    sim = sim + F.when(F.col("s63") > 0, F.lit(_MIN_LONG)).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col("id").alias(id_col), sim.alias(out_name))
+    bits = F.array(*[(2 * F.col(f"s{i}") > F.col("n")).cast("long") for i in range(64)])
+    # bit 63 is the sign bit: 1<<63 overflows signed 64, so its power is
+    # min-long (two's complement identity)
+    pows = F.array(
+        *([F.shiftleft(F.lit(1).cast("long"), i) for i in range(63)] + [F.lit(_MIN_LONG)])
+    )
+    sim = F.aggregate(
+        F.zip_with(bits, pows, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # all-null group (blank doc): sums are null -> sim null -> 0
+    return sums.select(F.col("id").alias(id_col), F.coalesce(sim, F.lit(0).cast("long")).alias(out_name))
 
 
 def ngram_jaccard_pairs(
