@@ -262,6 +262,44 @@ def neighbors(cellid: np.ndarray, level: int) -> np.ndarray:
     return out
 
 
+def ring_interior(cellid: np.ndarray, level: int, r: int) -> np.ndarray:
+    """Cells at Chebyshev ring exactly r, for cells whose whole ring stays
+    INSIDE their face: pure (i,j) offset arithmetic, fully vectorized
+    (n, 8r) — no per-row graph walk. Callers must route face-edge cells
+    (``ring_is_interior`` False) to the exact BFS-over-``neighbors`` path:
+    offset projection through a face boundary clips and would both
+    duplicate and miss cells there."""
+    cellid = np.asarray(cellid, dtype=np.int64)
+    n = len(cellid)
+    if r == 0:
+        return cellid[:, None].copy()
+    face, i, j = to_face_ij(cellid)
+    size = np.int64(1 << (MAX_LEVEL - level))
+    i0 = i & ~(size - 1)
+    j0 = j & ~(size - 1)
+    offs = [
+        (di, dj)
+        for di in range(-r, r + 1)
+        for dj in range(-r, r + 1)
+        if max(abs(di), abs(dj)) == r
+    ]
+    out = np.empty((n, len(offs)), dtype=np.int64)
+    for idx, (di, dj) in enumerate(offs):
+        out[:, idx] = parent(from_face_ij(face, i0 + di * size, j0 + dj * size), level)
+    return out
+
+
+def ring_is_interior(cellid: np.ndarray, level: int, r: int) -> np.ndarray:
+    """True where the full Chebyshev-r ring of the cell stays on its face."""
+    cellid = np.asarray(cellid, dtype=np.int64)
+    _, i, j = to_face_ij(cellid)
+    size = np.int64(1 << (MAX_LEVEL - level))
+    ci = (i & ~(size - 1)) // size
+    cj = (j & ~(size - 1)) // size
+    n_side = np.int64(1 << level)
+    return (ci >= r) & (ci < n_side - r) & (cj >= r) & (cj < n_side - r)
+
+
 # ---------- metric bounds ----------
 
 # Published S2 metric: minimum cell width derivative for the quadratic
