@@ -158,6 +158,16 @@ def main() -> int:
     thr_big = n_images / t_big
     eff = thr_big / (4 * thr_small)
 
+    # secondary pair (2N v 8N, i.e. 8v32 by default): measured on identical
+    # code and reported alongside so the headline can't cherry-pick the
+    # favorable pair — on this single host the big pair saturates the
+    # shared memory bus (see the probe section)
+    r_small2 = run_config(2 * n_small, n_images, runs, inp)
+    r_big2 = run_config(8 * n_small, n_images, runs, inp)
+    t_small2 = statistics.median(r_small2["times"])
+    t_big2 = statistics.median(r_big2["times"])
+    eff2 = (n_images / t_big2) / (4 * (n_images / t_small2))
+
     def row(name, r, t, thr):
         return (f"| {name} | {', '.join(f'{x:.2f}' for x in r['times'])} "
                 f"| {t:.2f} | {thr:,.0f} |")
@@ -177,9 +187,17 @@ stand-in for N- vs 4N-executor clusters (north rule).
 |---|---|---|---|
 {row(f'{n_small} cores (N)', r_small, t_small, thr_small)}
 {row(f'{n_big} cores (4N)', r_big, t_big, thr_big)}
+{row(f'{2 * n_small} cores (2N)', r_small2, t_small2, n_images / t_small2)}
+{row(f'{8 * n_small} cores (8N)', r_big2, t_big2, n_images / t_big2)}
 
-**Scaling efficiency = thr(4N) / (4 x thr(N)) = {thr_big:,.0f} /
-(4 x {thr_small:,.0f}) = {eff:.3f}** (north-rule target >= 0.8)
+**Scaling efficiency: {eff:.3f} at {n_small}v{n_big} cores (= {thr_big:,.0f}
+/ (4 x {thr_small:,.0f}); north-rule target >= 0.8); {eff2:.3f} at
+{2 * n_small}v{8 * n_small} cores, shared-bus-limited** — both pairs
+measured on identical code; the larger pair saturates this single host's
+memory bus (probe below) and is reported alongside so the headline row
+does not overstate the result. On a multi-node cluster the
+{n_small}v{n_big} pair is the representative one (per-node buses scale
+with executor count).
 
 ## Why N={n_small} (single-host emulation caveat)
 
@@ -213,6 +231,7 @@ artifact does not dominate; the measured efficiency is therefore a
         "t_small": t_small, "t_big": t_big,
         "images_per_sec_small": thr_small, "images_per_sec_big": thr_big,
         "efficiency": eff, "n_small": n_small, "n_big": n_big,
+        "efficiency_2n8n": eff2,
         "membw_small_gbps": bw_small, "membw_big_gbps": bw_big,
     }))
     return 0

@@ -75,3 +75,17 @@ def test_custom_validator_registration():
         assert vapi.validate_csv(f"{FIX}/rna_samples.csv", kind="stub").n_rows == 0
     finally:
         vapi._VALIDATORS.pop("stub", None)
+
+
+def test_process_csv_shim(spark):
+    """Legacy shim parity (reference validation/process_csv.py:23-36):
+    (meta, df) with filename/sha256/n_rows/n_cols/fields/warnings."""
+    from fairy_core_spark.process_csv import process_csv
+
+    meta, df = process_csv(f"{FIX}/rna_samples.csv")
+    assert meta["filename"] == "rna_samples.csv"
+    assert len(meta["sha256"]) == 64
+    assert meta["n_rows"] == 5 and meta["n_cols"] == 5
+    assert meta["fields_validated"] == ["collection_date", "read_length", "sample_id", "tissue"]
+    assert len(meta["warnings"]) == 4 and all(isinstance(w, dict) for w in meta["warnings"])
+    assert df.count() == 5 and "sample_id" in df.columns
