@@ -77,3 +77,66 @@ def test_quarantine_split(spark, tmp_path):
         "SELECT DISTINCT violated_rules FROM quarantined"
     ).collect()
     assert all(r["violated_rules"] == ["range_value"] for r in rules)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: in-batch gaps close
+    sessions immediately; idle sessions close via event-time timeout once
+    the watermark passes last_event + gap."""
+    import datetime as dt
+
+    from fairy_core_spark.streaming.sessionize import sessionize_stream
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(uid, t0 + dt.timedelta(seconds=s)) for uid, s in specs]
+
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: user 1 has two sessions split by a 2h in-batch gap;
+    # user 2 has one idle session
+    spark.createDataFrame(
+        rows((1, 0), (1, 10), (1, 7200), (2, 0)), schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    sessions = sessionize_stream(stream, gap_s=1800, watermark="30 minutes")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # the in-batch gap close emits immediately; user 2's idle session also
+    # times out within processAllAvailable (the post-batch watermark 5400s
+    # already passed its 1800s deadline and Spark runs a no-data micro-batch
+    # to fire timeouts). user 1's second session (deadline 9000s) stays open.
+    assert got1 == {
+        (1, t0, t0 + dt.timedelta(seconds=10), 2),
+        (2, t0, t0, 1),
+    }
+
+    # batch 2: a much later event advances the watermark past every open
+    # session's deadline -> timeouts fire
+    spark.createDataFrame(rows((3, 4 * 3600)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got2 == {
+        (1, t0, t0 + dt.timedelta(seconds=10), 2),
+        (1, t0 + dt.timedelta(seconds=7200), t0 + dt.timedelta(seconds=7200), 1),
+        (2, t0, t0, 1),
+    }
