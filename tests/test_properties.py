@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY.md §5: "No property-based testing" there). Invariants that goldens
+can't pin because they hold over the whole input space:
+
+- S2 hierarchy nests: the parent of the level-L cell containing p IS the
+  level-(L-1) cell containing p.
+- S2 leaf encode/decode roundtrips exactly.
+- haversine is a symmetric pre-metric with zero self-distance.
+- ray-cast PIP agrees with the closed-form answer on random rectangles.
+- rule predicates match the reference's pandas semantics
+  (pd.isna | strip=='' for required; to_numeric coerce for range; normalize
+  then set-membership for enum) on adversarial generated cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from fairy_core_spark.functions.geometry import haversine_m, point_in_ring
+from fairy_core_spark.spatial import s2
+
+lat_st = st.floats(min_value=-89.0, max_value=89.0, allow_nan=False)
+lon_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=20), st.integers(2, 20))
+def test_s2_parent_nesting(points, level):
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    fine = s2.cell_id(lat, lon, level)
+    coarse = s2.cell_id(lat, lon, level - 1)
+    assert (s2.parent(fine, level - 1) == coarse).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=20))
+def test_s2_leaf_roundtrip(points):
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    leaf = s2.cell_id(lat, lon, s2.MAX_LEVEL)
+    face, i, j = s2.to_face_ij(leaf)
+    assert (s2.from_face_ij(face, i, j) == leaf).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(lat_st, lon_st, lat_st, lon_st)
+def test_haversine_symmetric_nonnegative(lat1, lon1, lat2, lon2):
+    a = np.array([lat1]), np.array([lon1])
+    b = np.array([lat2]), np.array([lon2])
+    d_ab = haversine_m(a[0], a[1], b[0], b[1])[0]
+    d_ba = haversine_m(b[0], b[1], a[0], a[1])[0]
+    assert d_ab >= 0.0
+    assert abs(d_ab - d_ba) <= 1e-6 * max(d_ab, 1.0)
+    assert haversine_m(a[0], a[1], a[0], a[1])[0] == 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-80, 80, allow_nan=False),
+    st.floats(-170, 170, allow_nan=False),
+    st.floats(0.01, 9.0),
+    st.floats(0.01, 9.0),
+    st.floats(-0.5, 1.5),
+    st.floats(-0.5, 1.5),
+)
+def test_pip_rect_closed_form(lat0, lon0, dlat, dlon, fy, fx):
+    """random rectangle + a probe at fractional offset (fy, fx): ray-cast
+    answer must equal the closed-form bounds check (probes landing within
+    1e-9 of an edge are skipped — boundary orientation is unspecified)."""
+    ring = np.array(
+        [
+            [lat0, lon0],
+            [lat0, lon0 + dlon],
+            [lat0 + dlat, lon0 + dlon],
+            [lat0 + dlat, lon0],
+            [lat0, lon0],
+        ]
+    )
+    plat, plon = lat0 + fy * dlat, lon0 + fx * dlon
+    on_edge = min(abs(fy), abs(1 - fy)) * dlat < 1e-9 or min(abs(fx), abs(1 - fx)) * dlon < 1e-9
+    if on_edge:
+        return
+    want = (0 < fy < 1) and (0 < fx < 1)
+    got = bool(point_in_ring(np.array([plat]), np.array([plon]), ring)[0])
+    assert got == want
+
+
+# ---- rule predicates vs reference pandas semantics (needs Spark) ----
+
+cell_st = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.text(alphabet=" abAB019.-e", max_size=8),
+    st.integers(-1000, 1000).map(str),
+    st.floats(-100, 100, allow_nan=False).map(lambda x: f"{x:.3f}"),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(cell_st, min_size=1, max_size=30))
+def test_rule_predicates_match_pandas_reference(spark, cells):
+    from fairy_core_spark.operators.rules import enum_pred, nullish_pred, range_pred
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cells)], "i long, v string")
+    got = {
+        r["i"]: (bool(r["nul"]), bool(r["rng"]), bool(r["enm"]))
+        for r in df.select(
+            "i",
+            nullish_pred("v").alias("nul"),
+            range_pred("v", 0.0, 10.0, True).alias("rng"),
+            enum_pred("v", ["ab", "AB", "1"], {"trim": True, "casefold": True}).alias("enm"),
+        ).collect()
+    }
+    s = pd.Series(cells, dtype=object)
+    want_nul = s.isna() | s.fillna("x").astype(str).str.strip().eq("")
+    num = pd.to_numeric(s, errors="coerce")
+    want_rng = num.isna() | (num < 0.0) | (num > 10.0)
+    normed = s.fillna("\0").astype(str).str.strip().str.lower()
+    allow = {"ab", "1"}  # casefolded allow list
+    want_enm = s.isna() | ~normed.isin(allow)
+    for i in range(len(cells)):
+        assert got[i][0] == bool(want_nul[i]), (cells[i], "nullish")
+        assert got[i][1] == bool(want_rng[i]), (cells[i], "range")
+        assert got[i][2] == bool(want_enm[i]), (cells[i], "enum")
