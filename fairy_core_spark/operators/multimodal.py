@@ -1,19 +1,24 @@
 """Multimodal column operators: images/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas.
 
-The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. Decode steps for formats whose codecs don't
-ship in this container (JPEG/WebP, MP3/AAC, MP4) are STUBBED behind
-``NotImplementedError`` with a deterministic-fake escape hatch for tests,
-exactly as a production deployment would swap in libjpeg/ffmpeg workers
-(the operator contracts don't change).
+Codec stance (same as image_codec.py): REAL decoders for every format the
+sandbox can express without external libraries — PPM/PNG/QNT images, PCM
+RIFF/WAVE audio (functions/av_codec.py), PPMV raw-frame video with
+O(frame) random access. Only compressed formats whose codecs don't ship
+here (JPEG/WebP, MP3/AAC, MP4/H.264) are STUBBED behind
+``NotImplementedError`` with a deterministic-fake escape hatch, exactly as
+a production deployment would swap in libjpeg/ffmpeg workers (the operator
+contracts don't change).
 
 Operators:
 - resize_images: real nearest-neighbor resize for the in-sandbox codecs
 - image_features: real 3x(4-bin) color histogram + mean/std per channel
-- sample_video_frames: STUB decode -> (frame_index, frame_png) rows;
-  deterministic fake frames when ``use_fake=True``
-- audio_features: STUB decode -> duration/rms; deterministic fake
+- sample_video_frames: REAL frame sampling for fmt='ppmv' (offset-seek
+  random access — reads O(sampled frames), never the whole video, the same
+  access pattern a keyframe index gives on real containers); stub for
+  compressed formats (fake frames when ``use_fake=True``)
+- audio_features: REAL duration/RMS for fmt='wav' (PCM chunk walk); stub
+  for compressed formats
 """
 
 from __future__ import annotations
@@ -24,6 +29,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from fairy_core_spark.functions.av_codec import (
+    decode_ppmv_frame,
+    decode_wav,
+    ppmv_info,
+)
 from fairy_core_spark.functions.image_codec import decode_image, encode_image
 
 FEATURE_SCHEMA = (
@@ -117,18 +127,33 @@ def sample_video_frames(
     use_fake: bool = False,
 ) -> DataFrame:
     """(video_id, bytes, fmt, n_frames) -> exploded (video_id, frame_index,
-    frame_bytes) rows. Real MP4/H.264 decode needs ffmpeg (not in this
-    container): raises NotImplementedError unless ``use_fake`` supplies
-    deterministic stand-in frames — the distributed plumbing (row fan-out,
-    batch shapes, schema) is identical either way."""
+    frame_bytes) rows (frames re-encoded as PPM).
+
+    fmt='ppmv': REAL decode — header read + per-frame offset seek, so a
+    4-frame sample of a 10k-frame video touches 4 frames' bytes. Compressed
+    formats (MP4/H.264) need ffmpeg (not in this container): they raise
+    NotImplementedError unless ``use_fake`` supplies deterministic stand-in
+    frames — the distributed plumbing (row fan-out, batch shapes, schema)
+    is identical either way."""
     schema = "video_id string, frame_index int, frame_bytes binary"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for vid, nf, fmt in zip(
-                pdf["video_id"].tolist(), pdf["n_frames"].tolist(), pdf["fmt"].tolist()
+            for vid, blob, nf, fmt in zip(
+                pdf["video_id"].tolist(),
+                pdf["bytes"].tolist(),
+                pdf["n_frames"].tolist(),
+                pdf["fmt"].tolist(),
             ):
+                if fmt == "ppmv":
+                    n_avail = ppmv_info(bytes(blob))[0]
+                    for k, fi in enumerate(range(0, min(int(nf), n_avail), every_n)):
+                        if k >= max_frames:
+                            break
+                        frame = decode_ppmv_frame(bytes(blob), fi)
+                        rows.append((vid, fi, bytearray(encode_image(frame, "ppm"))))
+                    continue
                 if not use_fake:
                     raise NotImplementedError(
                         f"no video codec for fmt={fmt!r} in this environment; "
@@ -141,13 +166,17 @@ def sample_video_frames(
             if rows:
                 yield pd.DataFrame(rows, columns=["video_id", "frame_index", "frame_bytes"])
 
-    return videos.select("video_id", "n_frames", "fmt").mapInPandas(run, schema=schema)
+    return videos.select("video_id", "bytes", "n_frames", "fmt").mapInPandas(run, schema=schema)
 
 
 def audio_features(audio: DataFrame, use_fake: bool = False) -> DataFrame:
     """(audio_id, bytes, fmt, sample_rate) -> (audio_id, duration_s, rms).
-    Real MP3/AAC decode is stubbed (no codec in-container); fake mode derives
-    deterministic values from the payload hash."""
+
+    fmt='wav': REAL decode (PCM RIFF chunk walk, av_codec.decode_wav);
+    duration comes from the data chunk and the embedded rate — the
+    sample_rate column is metadata only. Compressed formats (MP3/AAC) are
+    stubbed (no codec in-container); fake mode derives deterministic values
+    from the payload hash."""
     schema = "audio_id string, duration_s double, rms double"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,6 +190,11 @@ def audio_features(audio: DataFrame, use_fake: bool = False) -> DataFrame:
                 pdf["fmt"].tolist(),
                 pdf["sample_rate"].tolist(),
             ):
+                if fmt == "wav":
+                    x, rate = decode_wav(bytes(blob))
+                    rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+                    rows.append((aid, x.shape[0] / float(rate), rms))
+                    continue
                 if not use_fake:
                     raise NotImplementedError(
                         f"no audio codec for fmt={fmt!r} in this environment; "
