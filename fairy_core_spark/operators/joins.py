@@ -1,0 +1,123 @@
+"""Join operators Spark lacks natively (prompt-mandated custom-operator
+class: as-of join, range join), built as compositions of existing
+DataFrame ops — no UDFs, no cross joins.
+
+- ``asof_join``: nearest-event join (for each left row, the latest right
+  row at-or-before its timestamp, per key — 'backward'; or the earliest
+  at-or-after — 'forward'). Implemented union -> one window pass: both
+  sides are unioned with a side marker, sorted by (ts, side) within key,
+  and the running ``last`` non-null right payload is attached to left
+  rows. ONE shuffle + sort on the key — never the left x right-per-key
+  blow-up of the naive join+rank form (a hot user with 10^4 events and
+  10^4 purchases would produce 10^8 join rows; the union form keeps it at
+  2x10^4 rows).
+- ``interval_join_binned``: point-in-interval equi-join via binning:
+  intervals explode to the fixed-width bins they cover, points map to
+  their bin, the bin equi-join bounds candidates, an exact range filter
+  refines. The 1-D analogue of the spatial cell-equi-join (spatial/ops).
+  Bin width is the scale lever: candidates per point ~= intervals
+  overlapping its bin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tie_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row: the matching right row nearest in time.
+
+    backward: latest right with right_ts <= left_ts (inclusive).
+    forward:  earliest right with right_ts >= left_ts (inclusive).
+    Ties on right_ts resolve to the max (backward) / min (forward)
+    ``tie_col`` — deterministic, oracle-replayable. Output: all left
+    columns + right columns prefixed ``r_``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' | 'forward'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' | 'left'")
+    r_payload = F.struct(*[F.col(c) for c in right.columns])
+    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    r_t = F.col(right_ts)
+    l_t = F.col(left_ts)
+    tie = F.col(tie_col) if tie_col else F.lit(0)
+
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        r_t.alias("__t"),
+        F.lit(0).alias("__side"),  # right rows sort before left at equal ts
+        tie.alias("__tie"),
+        r_payload.alias("__r"),
+        F.lit(None).cast(left.select(l_payload).schema[0].dataType).alias("__l"),
+    )
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        l_t.alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r2.schema["__tie"].dataType).alias("__tie"),
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        l_payload.alias("__l"),
+    )
+    u = r2.unionByName(l2)
+    if direction == "backward":
+        # ascending ts; among equal (ts, side=0) the LAST row wins -> max tie
+        w = Window.partitionBy("__k").orderBy(
+            F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__tie")
+        )
+    else:
+        # descending ts; right still first at equal ts; min tie wins
+        w = Window.partitionBy("__k").orderBy(
+            F.desc("__t"), F.asc("__side"), F.desc_nulls_last("__tie")
+        )
+    matched = u.withColumn(
+        "__m",
+        F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).where(F.col("__side") == 1)
+    if how == "inner":
+        matched = matched.where(F.col("__m").isNotNull())
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"r_{c}") for c in right.columns
+    ]
+    return matched.select(*out_cols)
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Rows (point x interval) with lo <= val <= hi, via bin equi-join +
+    exact refine. Each (point, interval) pair meets in exactly ONE bin
+    (the point's), so no post-join dedup is needed."""
+    pb = points.withColumn(
+        "__bin", F.floor(F.col(val_col) / F.lit(float(bin_width))).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(float(bin_width))).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(float(bin_width))).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bin")
+        .where((F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) <= F.col(hi_col)))
+        .drop("__bin")
+    )
