@@ -184,3 +184,26 @@ class ParquetDirCatalog:
                 if "=" in dn:
                     out.append(os.path.relpath(os.path.join(root, dn), data_dir))
         return sorted(out)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and bucket-sorted) by the join key — the
+    10^12-row co-location strategy: two tables bucketed identically on
+    their join key sort-merge-join with NO Exchange (and with ``sort``,
+    no per-task Sort either). This is the `broadcast_geo=False` path of
+    the north pipeline: at full scale the geo table stops fitting in
+    broadcast and both sides are written this way instead.
+
+    Uses the session catalog (`saveAsTable` — bucket metadata lives in the
+    metastore; plain `.parquet()` writes cannot record bucketing). Under
+    Iceberg the same declaration is `PARTITIONED BY (bucket(N, col))`."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

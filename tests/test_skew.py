@@ -64,3 +64,34 @@ def test_salted_distinct_count_exact(spark):
         for r in salted_distinct_count(facts, "k", "payload", n_salts=8).collect()
     }
     assert got == want
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with zero
+    Exchange in the physical plan — the co-location contract the north
+    pipeline's broadcast_geo=False path relies on at full scale."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.sources.tables import write_bucketed
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # fixture tables are tiny, so the planner would broadcast and skip
+        # bucketing; at the scale this path exists for (both sides huge)
+        # broadcast is off the table — emulate that explicitly
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        assert j.count() == 5000
+        got = j.where(F.col("k") == 17).collect()[0]
+        assert (got["x"], got["y"]) == (34, 51)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
