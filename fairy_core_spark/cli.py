@@ -36,6 +36,32 @@ def _parse_inputs(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _resolve_validate_inputs(args) -> dict[str, str] | int:
+    """Input resolution with the reference's legacy contract
+    (cli/validate.py:88-110): --inputs name=path pairs win; else the
+    positional INPUT is a single file (named 'default') or a folder whose
+    *.csv files are loaded stem-named in sorted order. Error paths return
+    exit code 2 without starting Spark."""
+    if args.inputs:
+        return _parse_inputs(args.inputs)
+    if not getattr(args, "input", None):
+        print("ERROR: provide INPUT or at least one --inputs name=path", file=sys.stderr)
+        return 2
+    inp = args.input
+    if os.path.isdir(inp):
+        csvs = sorted(
+            f for f in os.listdir(inp) if f.endswith(".csv") and os.path.isfile(os.path.join(inp, f))
+        )
+        if not csvs:
+            print(f"ERROR: no CSV files found in folder: {inp}", file=sys.stderr)
+            return 2
+        return {os.path.splitext(f)[0]: os.path.join(inp, f) for f in csvs}
+    if os.path.isfile(inp):
+        return {"default": inp}
+    print(f"ERROR: input not found: {inp}", file=sys.stderr)
+    return 2
+
+
 def cmd_validate(args) -> int:
     from fairy_core_spark.plans.report import (
         run_rulepack,
@@ -44,10 +70,16 @@ def cmd_validate(args) -> int:
     )
     from fairy_core_spark.rulepack.loader import load_rulepack
 
+    if not os.path.exists(args.rulepack):
+        print(f"ERROR: rulepack not found: {args.rulepack}", file=sys.stderr)
+        return 2
+    inputs = _resolve_validate_inputs(args)
+    if isinstance(inputs, int):
+        return inputs
+
     spark = get_spark(app_name="fairy-validate", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     rp = load_rulepack(args.rulepack)
-    inputs = _parse_inputs(args.inputs)
     report = run_rulepack(spark, inputs, rp, rp_path=args.rulepack)
     s = report["summary"]
     print(f"pass={s['pass']} warn={s['warn']} fail={s['fail']}")
@@ -177,6 +209,24 @@ def cmd_preflight(args) -> int:
     return 0 if s["submission_ready"] else 1
 
 
+def cmd_rulepack(args) -> int:
+    """Shape-check a rulepack without executing it (reference
+    cmd_rulepack.py:23-34): exit 2 with the error on a malformed pack, else
+    print name/version/rule-count. Never starts Spark."""
+    from fairy_core_spark.rulepack.loader import load_rulepack
+
+    try:
+        rp = load_rulepack(args.rulepack)
+    except (ValueError, RuntimeError, OSError, KeyError) as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    print(f"Loaded rulepack '{rp.id}' v{rp.version} with {len(rp.rules)} rule(s).")
+    inputs = _parse_inputs(args.inputs)
+    if inputs:
+        print("Inputs parsed: " + ", ".join(f"{k}={v}" for k, v in inputs.items()))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from fairy_core_spark.pipeline.runner import PipelineRunner, image_pipeline_stages
 
@@ -194,11 +244,20 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate", help="rulepack validation over named inputs")
-    v.add_argument("--inputs", nargs="+", required=True, help="name=path pairs")
+    v.add_argument("input", nargs="?", default=None,
+                   help="CSV file or folder of CSVs (legacy positional mode)")
+    v.add_argument("--inputs", nargs="+", default=[], help="name=path pairs")
     v.add_argument("--rulepack", required=True)
     v.add_argument("--json-out", default=None)
     v.add_argument("--md-out", default=None)
     v.set_defaults(fn=cmd_validate)
+
+    rp_p = sub.add_parser(
+        "rulepack", help="load a YAML/JSON rulepack and validate its shape (no execution)"
+    )
+    rp_p.add_argument("--rulepack", required=True)
+    rp_p.add_argument("--inputs", nargs="*", default=[], help="name=path pairs (echo only)")
+    rp_p.set_defaults(fn=cmd_rulepack)
 
     p = sub.add_parser("preflight", help="GEO-style preflight over samples/files")
     p.add_argument("--rulepack", required=True)

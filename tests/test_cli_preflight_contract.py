@@ -115,3 +115,42 @@ def test_report_validates_against_locked_schema(spark, tmp_path):
     _run_preflight(out)
     report = json.loads((out / "preflight_report.json").read_text())
     jsonschema.validate(report, schema)  # raises on drift
+
+
+def test_validate_legacy_positional_modes(spark, tmp_path, capsys):
+    """reference cli/validate.py:88-110: positional INPUT as single file
+    (named 'default') or folder (stem-named CSVs); error contracts exit 2
+    before Spark work."""
+    import shutil
+
+    # folder mode over the art fixtures (rulepack patterns match filenames)
+    folder = tmp_path / "csvs"
+    folder.mkdir()
+    shutil.copy("tests/fixtures/artworks_fail.csv", folder / "artworks.csv")
+    shutil.copy("tests/fixtures/artists.csv", folder / "artists.csv")
+    rc = main([
+        "validate", str(folder), "--rulepack", "tests/fixtures/rulepacks/art.yaml",
+    ])
+    assert rc == 1  # failing rules present -> exit 1 (ran end-to-end)
+
+    # missing input / missing rulepack / empty folder -> 2
+    assert main(["validate", "--rulepack", "tests/fixtures/rulepacks/art.yaml"]) == 2
+    assert main(["validate", str(folder), "--rulepack", str(tmp_path / "nope.yaml")]) == 2
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["validate", str(empty), "--rulepack", "tests/fixtures/rulepacks/art.yaml"]) == 2
+
+
+def test_rulepack_shape_check(tmp_path, capsys):
+    """reference cmd_rulepack.py:23-34: loads + reports shape, exit 2 on a
+    malformed pack, no Spark session started."""
+    rc = main(["rulepack", "--rulepack", "tests/fixtures/rulepacks/art.yaml",
+               "--inputs", "a=x.csv"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Loaded rulepack" and "rule(s)" in out
+    assert "Inputs parsed: a=x.csv" in out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1, 2, 3]")  # not a mapping
+    assert main(["rulepack", "--rulepack", str(bad)]) == 2
