@@ -217,7 +217,7 @@ def cmd_rulepack(args) -> int:
 
     try:
         rp = load_rulepack(args.rulepack)
-    except (ValueError, RuntimeError, OSError, KeyError) as e:
+    except Exception as e:  # yaml.YAMLError, json errors, OSError, shape errors
         print(str(e), file=sys.stderr)
         return 2
     print(f"Loaded rulepack '{rp.id}' v{rp.version} with {len(rp.rules)} rule(s).")

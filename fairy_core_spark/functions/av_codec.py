@@ -62,10 +62,12 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV encoding: tag={tag} bits={bits}")
     raw = np.frombuffer(data, dtype=_PCM_DTYPES[bits])
     raw = raw[: (len(raw) // ch) * ch].reshape(-1, ch)
+    # divide by 2^(bits-1) so full-scale negative (-32768) decodes to
+    # exactly -1.0 and every value stays inside the documented [-1, 1]
     if bits == 8:  # 8-bit PCM is unsigned, midpoint 128
-        x = (raw.astype(np.float64) - 128.0) / 127.0
+        x = (raw.astype(np.float64) - 128.0) / 128.0
     else:
-        x = raw.astype(np.float64) / float(2 ** (bits - 1) - 1)
+        x = raw.astype(np.float64) / float(2 ** (bits - 1))
     return x, int(rate)
 
 

@@ -52,6 +52,11 @@ def asof_join(
     l_t = F.col(left_ts)
     tie = F.col(tie_col) if tie_col else F.lit(0)
 
+    # SQL asof semantics (and the DuckDB oracle's 'r.ts <= l.ts'): a NULL
+    # right timestamp or NULL key never matches anything — drop them here,
+    # or asc-nulls-first ordering would pin a null-ts row to the partition
+    # head and F.last() would hand it to every early left row
+    right = right.where(r_t.isNotNull() & F.col(key).isNotNull())
     r2 = right.select(
         F.col(key).alias("__k"),
         r_t.alias("__t"),

@@ -195,26 +195,34 @@ class RuleContext:
     max_evidence_rows: int = 10_000
     evidence_out: str | None = None
     current_rule: str = ""
+    input_name: str = ""
     truncated: list[str] = field(default_factory=list)
 
     def collect_rows(self, pred, extra_cols: list[str] | None = None) -> list[dict]:
         """Sorted, capped evidence pass: the only non-aggregate scan, run
-        per failing rule only. On cap overflow the full evidence is routed
-        to the ``evidence_out`` parquet sink, distributed."""
+        per failing rule only. Fetches cap+1 rows so truncation is detected
+        exactly (a result of exactly cap rows is complete, not truncated);
+        on overflow the full evidence is routed to the ``evidence_out``
+        parquet sink, distributed."""
         cols = [F.col(ROW_ID)] + [_s(c).alias(c) for c in (extra_cols or [])]
         base = self.df.where(pred).select(*cols)
-        rows = base.orderBy(ROW_ID).limit(self.max_evidence_rows).collect()
-        if len(rows) >= self.max_evidence_rows:
+        rows = base.orderBy(ROW_ID).limit(self.max_evidence_rows + 1).collect()
+        if len(rows) > self.max_evidence_rows:
             self.sink_overflow(base)
+            rows = rows[: self.max_evidence_rows]
         return [r.asDict() for r in rows]
 
     def sink_overflow(self, full_df: DataFrame) -> None:
         """Record cap overflow for the current rule; write the complete
-        evidence set executor-side when a sink is configured."""
+        evidence set executor-side when a sink is configured. The path is
+        keyed by (input, rule) — the same rule can overflow on several
+        inputs in one run."""
         rid = self.current_rule or "rule"
         if self.evidence_out:
             full_df.write.mode("overwrite").parquet(
-                os.path.join(self.evidence_out, f"rule={rid}")
+                os.path.join(
+                    self.evidence_out, f"input={self.input_name or 'default'}", f"rule={rid}"
+                )
             )
         if rid not in self.truncated:
             self.truncated.append(rid)
@@ -309,11 +317,12 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                 for r in marked.where("__is_dup")
                 .select(ROW_ID)
                 .orderBy(ROW_ID)
-                .limit(ctx.max_evidence_rows)
+                .limit(ctx.max_evidence_rows + 1)
                 .collect()
             ]
-            if len(rows) >= ctx.max_evidence_rows:
+            if len(rows) > ctx.max_evidence_rows:
                 ctx.sink_overflow(marked.where("__is_dup").select(ROW_ID))
+                rows = rows[: ctx.max_evidence_rows]
             ev: dict[str, Any] = {"duplicates": [{"rows": rows}], "count": len(rows)}
             rem_col = _rule.config.get("remediation_link_column")
             if rem_col and rem_col in ctx.df.columns:
@@ -363,9 +372,10 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                     p = F.col(f"f{i}")
                     any_bad = p if any_bad is None else (any_bad | p)
                 base = ctx.df.select(F.col(ROW_ID), *flags).where(any_bad)
-                got = base.orderBy(ROW_ID).limit(ctx.max_evidence_rows).collect()
-                if len(got) >= ctx.max_evidence_rows:
+                got = base.orderBy(ROW_ID).limit(ctx.max_evidence_rows + 1).collect()
+                if len(got) > ctx.max_evidence_rows:
                     ctx.sink_overflow(base)
+                    got = got[: ctx.max_evidence_rows]
                 rows_by_col: dict[str, list[int]] = {c: [] for c in bad_cols}
                 for r in got:
                     for i, c in enumerate(bad_cols):

@@ -73,14 +73,20 @@ def train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, seed: int
     centroids and IVF recall collapses at scale)."""
     target = max(2000, 50 * n_centroids)
     n = corpus.count()
-    frac = min(1.0, (1.5 * target) / max(n, 1))  # oversample, then cap
+    frac = min(1.0, (1.5 * target) / max(n, 1))  # oversample slightly
+    # collect the WHOLE Bernoulli sample (~1.5x target, bounded) and
+    # subsample driver-side: a .limit(target) here would be satisfied from
+    # the first partitions and re-introduce the locality bias the fraction
+    # sampling exists to remove
     sample = (
         corpus.select(vec_col)
         .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(target)
         .collect()
     )
     x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng0 = np.random.default_rng(seed)
+    if len(x) > target:
+        x = x[rng0.choice(len(x), target, replace=False)]
     if len(x) < n_centroids:  # degenerate tiny corpus: take everything
         x = np.array([r[0] for r in corpus.select(vec_col).limit(target).collect()],
                      dtype=np.float64)

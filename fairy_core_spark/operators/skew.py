@@ -38,7 +38,10 @@ def detect_hot_keys(
         stats = counts.agg(F.percentile_approx("__n", 0.5).alias("m")).collect()[0]
         min_count = max(int((stats["m"] or 0) * 10), 2)
     rows = counts.where(F.col("__n") >= min_count).orderBy(F.desc("__n")).limit(top_k).collect()
-    return [r[key] for r in rows]
+    # a null key never matches in an equi-join, so it cannot be "hot" — and a
+    # None inside the array_contains literal would null-poison the cold-side
+    # filter and silently drop every cold row
+    return [r[key] for r in rows if r[key] is not None]
 
 
 def skew_split_join(
@@ -56,6 +59,7 @@ def skew_split_join(
         raise ValueError("skew_split_join supports how='inner' | 'left'")
     if hot_keys is None:
         hot_keys = detect_hot_keys(facts, key)
+    hot_keys = [k for k in hot_keys if k is not None]  # see detect_hot_keys
     if not hot_keys:
         return facts.join(dim, key, how)
 
@@ -63,7 +67,9 @@ def skew_split_join(
     is_hot = F.array_contains(hot_lit, F.col(key))
 
     cold = facts.where(~is_hot | F.col(key).isNull()).join(
-        dim.where(~F.array_contains(hot_lit, F.col(key))), key, how
+        dim.where(~F.array_contains(hot_lit, F.col(key)) | F.col(key).isNull()),
+        key,
+        how,
     )
     # hot facts: random salt in [0, n_salts); hot dim rows: one replica per
     # salt (explode a literal range — dim's hot subset is small by

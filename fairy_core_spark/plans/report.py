@@ -84,13 +84,17 @@ def run_rulepack(
             # pass + a main pass, and CSV parsing is the expensive part —
             # one parse, not two (parquet barely cares, CSV is ~2x)
             raw = read_input(spark, path, row_id=False).cache()
+            # a single mid-size CSV yields few input splits — rebalance so
+            # the fused agg + evidence passes use every core. The partition
+            # probe runs on the RAW file scan (split planning only, no job —
+            # unlike probing the row-id plan, whose exchanges AQE would
+            # materialize); an input already wider than the core count is
+            # left alone rather than shuffled down.
+            n_raw = raw.rdd.getNumPartitions()
             df = with_row_id_ingest(raw)
             raw_cached.append(raw)
-            # a single mid-size CSV yields few input splits — rebalance
-            # unconditionally so the fused agg + evidence passes use every
-            # core. Safe after row-id assignment: __row_id is attached in
-            # file order and every evidence list re-sorts by it explicitly.
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            if n_raw < spark.sparkContext.defaultParallelism:
+                df = df.repartition(spark.sparkContext.defaultParallelism)
         loaded[name] = df.cache()  # each input is scanned by fused agg + evidence passes
 
     # ---- attestation (reference :131-170); file hash driver-side for real
@@ -152,6 +156,7 @@ def run_rulepack(
             frames=loaded,
             max_evidence_rows=max_evidence_rows,
             evidence_out=evidence_out,
+            input_name=name,
         )
         filename = os.path.basename(str(path))
         rules = rulepack.rules_for(name, filename)

@@ -1,15 +1,23 @@
 """Custom stateful streaming operator: event-time gap sessionization via
 ``applyInPandasWithState`` (the escape hatch the graft mandate reserves for
-semantics built-in operators can't express — a session closes either when a
-later event reveals a gap, or when the WATERMARK passes the gap deadline
-with no event at all; windowed aggregation cannot express the second).
+semantics built-in operators can't express — a session closes only when the
+WATERMARK passes last_event + gap, whether or not another event arrives;
+windowed aggregation cannot express that).
 
-State per user: the open session (start, last, n). Vectorized inside the
-state function: one pandas sort + numpy diff per (user, micro-batch) —
-no per-event Python. Scale: state is O(active users), keyed shuffle on
-user_id; watermark bounds state lifetime (sessions time out and are
-evicted), so a 10^12-event stream holds state only for currently-active
-users.
+Correctness model (watermark-aligned append mode): a session is emitted
+ONLY once the watermark has passed its gap deadline — a session split
+observed inside one micro-batch is NOT emitted early, because an
+admissible late event (>= watermark) could still bridge the gap and merge
+it. State per user is the list of pending sessions as INTERVALS
+(start, last, n); interval gap-merging is exact for gap semantics: events
+inside a session are at most ``gap`` apart, so a new event belongs to
+session [s, e] iff it lands within ``gap`` of the interval itself.
+
+Vectorized per (user, micro-batch): one sort + one merge sweep over
+(pending intervals + new events) — no per-event Python. Scale: state is
+O(active users x pending sessions), bounded by the watermark (deadlines
+pass, sessions flush, idle users evict); a 10^12-event stream holds state
+only for currently-active users.
 """
 
 from __future__ import annotations
@@ -23,7 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-STATE_SCHEMA = "start double, last double, n long"
+STATE_SCHEMA = "starts array<double>, lasts array<double>, ns array<long>"
 
 
 def sessionize_stream(
@@ -34,69 +42,66 @@ def sessionize_stream(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Closed sessions (user_id, session_start, session_end, n_events) in
-    append mode. A session is emitted when (a) an in-batch gap > gap_s
-    splits it, or (b) the event-time timeout fires: watermark passed
-    last_event + gap_s with no new event."""
+    append mode; a session flushes when the event-time watermark passes
+    last_event + gap_s."""
 
     def fn(key, pdfs, state: GroupState):
         uid = int(key[0])
 
-        def _emit(rows):
-            return pd.DataFrame(
+        # pending sessions from state + new events, all as (start, last, n)
+        if state.exists:
+            starts, lasts, ns = state.get
+            ivs = list(zip(list(starts), list(lasts), list(ns)))
+        else:
+            ivs = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                secs = pdf["__ts"].astype("int64").to_numpy() / 1e9
+                ivs.extend((float(t), float(t), 1) for t in secs)
+        if not ivs:
+            state.remove()
+            return
+
+        # exact interval gap-merge: sort by start, fold while the next
+        # interval begins within gap of the current one's end
+        ivs.sort()
+        merged: list[tuple[float, float, int]] = []
+        cs, ce, cn = ivs[0]
+        for s, e, n in ivs[1:]:
+            if s <= ce + gap_s:
+                ce = max(ce, e)
+                cn += n
+            else:
+                merged.append((cs, ce, cn))
+                cs, ce, cn = s, e, n
+        merged.append((cs, ce, cn))
+
+        # flush sessions whose deadline the watermark has passed; keep the
+        # rest pending (a late-but-admissible event could still extend them)
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        closed = [iv for iv in merged if iv[1] + gap_s < wm_s]
+        pending = [iv for iv in merged if iv[1] + gap_s >= wm_s]
+
+        if pending:
+            state.update(
+                (
+                    [p[0] for p in pending],
+                    [p[1] for p in pending],
+                    [int(p[2]) for p in pending],
+                )
+            )
+            state.setTimeoutTimestamp(int(min(p[1] + gap_s for p in pending) * 1000) + 1)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
                 {
-                    "user_id": [uid] * len(rows),
-                    "session_start": [pd.to_datetime(s, unit="s") for s, _e, _n in rows],
-                    "session_end": [pd.to_datetime(e, unit="s") for _s, e, _n in rows],
-                    "n_events": [n for _s, _e, n in rows],
+                    "user_id": np.full(len(closed), uid, dtype=np.int64),
+                    "session_start": [pd.to_datetime(s, unit="s") for s, _e, _n in closed],
+                    "session_end": [pd.to_datetime(e, unit="s") for _s, e, _n in closed],
+                    "n_events": np.array([n for _s, _e, n in closed], dtype=np.int64),
                 }
             )
-
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield _emit([(start, last, int(n))])
-            return
-
-        secs_parts = [pdf["__ts"].astype("int64").to_numpy() / 1e9 for pdf in pdfs]
-        secs = np.concatenate(secs_parts) if secs_parts else np.array([])
-        counts = np.ones(len(secs), dtype=np.int64)
-        pseudo = np.zeros(len(secs), dtype=bool)
-        old_start = None
-        if state.exists:
-            start, last, n = state.get
-            old_start = float(start)
-            # the open session rides along as ONE weighted pseudo-event at
-            # its last timestamp (collapsing to (start,last) endpoints would
-            # reintroduce a > gap split inside an already-valid session);
-            # its true start is re-attached to whichever session it lands in
-            secs = np.concatenate([secs, [float(last)]])
-            counts = np.concatenate([counts, [int(n)]])
-            pseudo = np.concatenate([pseudo, [True]])
-        if len(secs) == 0:
-            return
-        order = np.argsort(secs, kind="stable")
-        secs, counts, pseudo = secs[order], counts[order], pseudo[order]
-
-        gaps = np.diff(secs)
-        bounds = np.nonzero(gaps > gap_s)[0]  # session ends at these indices
-        closed = []
-        lo = 0
-
-        def _sess(lo: int, hi: int) -> tuple[float, float, int]:
-            s0 = float(secs[lo])
-            if old_start is not None and pseudo[lo : hi + 1].any():
-                s0 = min(s0, old_start)
-            return (s0, float(secs[hi]), int(counts[lo : hi + 1].sum()))
-
-        for b in bounds:
-            closed.append(_sess(lo, int(b)))
-            lo = int(b) + 1
-        # the tail session stays open in state with an event-time deadline
-        open_start, open_last, open_n = _sess(lo, len(secs) - 1)
-        state.update((open_start, open_last, open_n))
-        state.setTimeoutTimestamp(int((open_last + gap_s) * 1000))
-        if closed:
-            yield _emit(closed)
 
     events = stream.withColumn("__ts", F.col(ts_col).cast("timestamp")).withWatermark(
         "__ts", watermark

@@ -50,8 +50,23 @@ def test_overflow_routes_to_parquet_sink(spark, tmp_path, wide_fail_csv):
     assert len(nullish) == 100
     # full evidence landed in the distributed sink
     assert res["evidence_truncated"]["rules"] == ["v-required"]
-    full = spark.read.parquet(f"{sink}/rule=v-required")
+    full = spark.read.parquet(f"{sink}/input=t/rule=v-required")
     assert full.count() == 500
+
+
+def test_exactly_cap_rows_is_not_truncated(spark, tmp_path, wide_fail_csv):
+    """A result of exactly max_evidence_rows is complete — no truncation
+    flag, no pointless distributed re-scan (cap+1 fetch off-by-one)."""
+    rep = run_rulepack(
+        spark,
+        {"t": wide_fail_csv},
+        RP,
+        max_evidence_rows=500,  # exactly the number of failing rows
+        evidence_out=str(tmp_path / "ev"),
+    )
+    res = rep["resources"][0]
+    assert "evidence_truncated" not in res
+    assert len(res["rules"][0]["evidence"]["nullish"]["rows_by_column"]["v"]) == 500
 
 
 def test_no_overflow_no_sink(spark, tmp_path, wide_fail_csv):

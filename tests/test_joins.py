@@ -107,3 +107,21 @@ def test_interval_join_binned_matches_theta(spark):
         for r in pts.join(iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_asof_null_ts_and_null_key_never_match(spark):
+    """SQL asof semantics: a NULL right timestamp or key matches nothing
+    (asc-nulls-first ordering must not pin a null-ts row to early lefts)."""
+    left = spark.createDataFrame(
+        [(1, _t(5), "early"), (1, _t(50), "late"), (None, _t(5), "nullkey")],
+        "k long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666), (1, _t(30), 1), (None, _t(1), 667)],
+        "k long, ts timestamp, qid long",
+    )
+    got = {
+        (r["lbl"], r["r_qid"])
+        for r in asof_join(left, right, "k", "ts", "ts", tie_col="qid", how="left").collect()
+    }
+    assert got == {("early", None), ("late", 1), ("nullkey", None)}

@@ -95,3 +95,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_skew_join_null_keys_not_poisoned(spark):
+    """A NULL key must behave like the plain join (facts with null keys
+    match nothing; cold rows survive) — an un-filtered None in the hot-key
+    array literal used to null-poison the cold-side filter and drop every
+    cold row."""
+    facts = spark.createDataFrame(
+        [(None, 1)] * 50 + [(7, 2)] * 100 + [(3, 3)] * 5,
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame([(7, "hot"), (3, "cold"), (None, "nullrow")], "k long, attr string")
+    from collections import Counter
+
+    for how in ("inner", "left"):
+        plain = Counter(
+            (r["k"], r["payload"], r["attr"]) for r in facts.join(dim, "k", how).collect()
+        )
+        salted = Counter(
+            (r["k"], r["payload"], r["attr"])
+            for r in skew_split_join(facts, dim, "k", n_salts=4, hot_keys=[7, None], how=how).collect()
+        )
+        assert salted == plain

@@ -80,9 +80,10 @@ def test_quarantine_split(spark, tmp_path):
 
 
 def test_stateful_sessionize_stream(spark, tmp_path):
-    """applyInPandasWithState gap sessionization: in-batch gaps close
-    sessions immediately; idle sessions close via event-time timeout once
-    the watermark passes last_event + gap."""
+    """applyInPandasWithState gap sessionization: every session (gap-split
+    or idle) is emitted only once the watermark passes last_event + gap —
+    within one processAllAvailable this happens via the no-data micro-batch
+    Spark runs after the watermark advances."""
     import datetime as dt
 
     from fairy_core_spark.streaming.sessionize import sessionize_stream
@@ -115,10 +116,10 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.sql("SELECT * FROM sessions").collect()
     }
-    # the in-batch gap close emits immediately; user 2's idle session also
-    # times out within processAllAvailable (the post-batch watermark 5400s
-    # already passed its 1800s deadline and Spark runs a no-data micro-batch
-    # to fire timeouts). user 1's second session (deadline 9000s) stays open.
+    # post-batch watermark is 5400s: the deadlines of user 1's first
+    # session (1810s) and user 2's idle session (1800s) have passed, so the
+    # no-data micro-batch flushes both. user 1's second session (deadline
+    # 9000s) stays pending.
     assert got1 == {
         (1, t0, t0 + dt.timedelta(seconds=10), 2),
         (2, t0, t0, 1),
@@ -140,3 +141,47 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (1, t0 + dt.timedelta(seconds=7200), t0 + dt.timedelta(seconds=7200), 1),
         (2, t0, t0, 1),
     }
+
+
+def test_stateful_sessionize_late_event_bridges_gap(spark, tmp_path):
+    """An admissible late event that bridges an in-batch gap must MERGE the
+    two fragments into one session — emission waits for the watermark to
+    pass the gap deadline, so the early fragment is never emitted split."""
+    import datetime as dt
+
+    from fairy_core_spark.streaming.sessionize import sessionize_stream
+
+    t0 = dt.datetime(2025, 1, 1)
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(*secs, uid=1):
+        spark.createDataFrame(
+            [(uid, t0 + dt.timedelta(seconds=s)) for s in secs], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    write(0, 2000)  # gap 2000 > 1800: looks like two sessions...
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    q = (
+        sessionize_stream(stream, gap_s=1800, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark is only 200s: nothing may be emitted yet
+    assert spark.sql("SELECT COUNT(*) n FROM late_sessions").collect()[0]["n"] == 0
+
+    write(1000)  # late (>= watermark 200) event bridges the gap
+    q.processAllAvailable()
+    write(10000, uid=2)  # push the watermark past the merged deadline
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    assert got == {(1, t0, t0 + dt.timedelta(seconds=2000), 3)}
