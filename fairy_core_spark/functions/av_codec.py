@@ -60,6 +60,8 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
     if tag != 1 or bits not in _PCM_DTYPES:
         raise ValueError(f"unsupported WAV encoding: tag={tag} bits={bits}")
+    if ch == 0 or rate == 0:
+        raise ValueError(f"malformed WAV header: channels={ch} rate={rate}")
     raw = np.frombuffer(data, dtype=_PCM_DTYPES[bits])
     raw = raw[: (len(raw) // ch) * ch].reshape(-1, ch)
     # divide by 2^(bits-1) so full-scale negative (-32768) decodes to

@@ -219,7 +219,9 @@ def simhash_df(
     ``lambda c: F.xxhash64(c)`` for ~2x faster hashing when oracle parity
     is not needed (pure JVM xxhash vs md5 hex + conv)."""
     hash_fn = token_hash or _token_hash64
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # single tokenizer definition shared with shingles()/minhash: if the
+    # split regex ever changes, every text-dedup family moves together
+    toks = tokens(F.col(text_col))
     toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")

@@ -84,12 +84,19 @@ def asof_join(
         w = Window.partitionBy("__k").orderBy(
             F.desc("__t"), F.asc("__side"), F.desc_nulls_last("__tie")
         )
-    matched = u.withColumn(
-        "__m",
-        F.last("__r", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).where(F.col("__side") == 1)
+    matched = (
+        u.withColumn(
+            "__m",
+            F.last("__r", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where(F.col("__side") == 1)
+        # a NULL left timestamp matches nothing either (it sorts to one end
+        # of the window ordering — desc-nulls-last made forward mode hand it
+        # the earliest right row)
+        .withColumn("__m", F.when(F.col("__t").isNotNull(), F.col("__m")))
+    )
     if how == "inner":
         matched = matched.where(F.col("__m").isNotNull())
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [

@@ -191,7 +191,10 @@ def audio_features(audio: DataFrame, use_fake: bool = False) -> DataFrame:
                 pdf["sample_rate"].tolist(),
             ):
                 if fmt == "wav":
-                    x, rate = decode_wav(bytes(blob))
+                    try:
+                        x, rate = decode_wav(bytes(blob))
+                    except Exception:
+                        continue  # corrupt blob: skip the row, never the task
                     rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
                     rows.append((aid, x.shape[0] / float(rate), rms))
                     continue

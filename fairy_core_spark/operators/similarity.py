@@ -90,6 +90,11 @@ def train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int, seed: int
     if len(x) < n_centroids:  # degenerate tiny corpus: take everything
         x = np.array([r[0] for r in corpus.select(vec_col).limit(target).collect()],
                      dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("train_centroids: empty corpus")
+    # a corpus smaller than n_centroids degrades to one centroid per row
+    # instead of crashing rng.choice(replace=False)
+    n_centroids = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), n_centroids, replace=False)]
     for _ in range(iters):

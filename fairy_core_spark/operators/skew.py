@@ -35,9 +35,13 @@ def detect_hot_keys(
     threshold."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
     if min_count is None:
+        # the median job and the top-k job must share ONE scan of df —
+        # without the persist the second job recomputes the full groupBy
+        counts = counts.persist()
         stats = counts.agg(F.percentile_approx("__n", 0.5).alias("m")).collect()[0]
         min_count = max(int((stats["m"] or 0) * 10), 2)
     rows = counts.where(F.col("__n") >= min_count).orderBy(F.desc("__n")).limit(top_k).collect()
+    counts.unpersist()
     # a null key never matches in an equi-join, so it cannot be "hot" — and a
     # None inside the array_contains literal would null-poison the cold-side
     # filter and silently drop every cold row

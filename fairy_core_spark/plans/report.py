@@ -209,8 +209,10 @@ def run_rulepack(
 
         resource = {"name": name, "path": str(path), "rules": resource_rules}
         if ctx.truncated:
+            # set-dedupe: concurrent finalizers share the list and the
+            # check-then-append in sink_overflow can interleave
             resource["evidence_truncated"] = {
-                "rules": sorted(ctx.truncated),
+                "rules": sorted(set(ctx.truncated)),
                 "evidence_out": evidence_out,
             }
         report["resources"].append(resource)

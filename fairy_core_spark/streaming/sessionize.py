@@ -106,6 +106,10 @@ def sessionize_stream(
     events = stream.withColumn("__ts", F.col(ts_col).cast("timestamp")).withWatermark(
         "__ts", watermark
     )
+    # a NULL user cannot be sessionized (and would crash the state function
+    # as a (None,) grouping key, killing the whole query); a NULL/uncastable
+    # timestamp can never be ordered into a session
+    events = events.where(F.col(user_col).isNotNull() & F.col("__ts").isNotNull())
     return events.groupBy(F.col(user_col).alias("user_id")).applyInPandasWithState(
         fn,
         OUT_SCHEMA,

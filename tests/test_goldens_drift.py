@@ -1,0 +1,40 @@
+"""Drift guard for the frozen contract goldens
+(fairy_core_spark/goldens/contract_goldens.py): recompute a sample of each
+golden from the live engine and compare. If the sf0.01 fixture, the image
+generator, the S2 encoder, or the phash kernel changes, this fails loudly
+instead of leaving the DuckDB oracle gate to surface an opaque mismatch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fairy_core_spark.goldens.contract_goldens import IMAGE_PHASH_3000, TILE_CELLS_SF001
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_tile_cells_golden_matches_engine(spark):
+    from fairy_core_spark.queries import _synth_points, _t
+    from fairy_core_spark.spatial.ops import with_cell
+
+    assert len(TILE_CELLS_SF001) == 1500
+    golden = dict(TILE_CELLS_SF001)
+    pts = _synth_points(_t(spark, SF, "customer"), "c_custkey")
+    # sample every 13th point (116 rows) — enough to catch any systematic
+    # drift in synth formula, fixture keys, or S2 level-4 assignment
+    sample = with_cell(pts.where(F.col("point_id") % 13 == 0), level=4, out="tile_id")
+    for r in sample.select("point_id", "tile_id").collect():
+        assert golden[r["point_id"]] == r["tile_id"], r["point_id"]
+
+
+def test_image_phash_golden_matches_engine(spark):
+    from fairy_core_spark.datagen.images import images_df
+
+    assert len(IMAGE_PHASH_3000) == 3000
+    golden = dict(IMAGE_PHASH_3000)
+    imgs = images_df(spark, 3000)
+    sample = imgs.where(F.abs(F.xxhash64("image_id")) % 25 == 0).select("image_id", "phash")
+    rows = sample.collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert golden[r["image_id"]] == r["phash"], r["image_id"]
