@@ -4,9 +4,14 @@
   small image+caption table, stage-1 validate, S2-encode via geo metadata,
   tile at level 12) joined with a stage-1 rule check over sf0.001 lineitem.
 - ``queries()`` / ``oracle_sql()``: the operator registry lives in
-  ``fairy_core_spark.queries`` — every SQL-expressible operator from
-  SURVEY.md §2 paired with a DuckDB oracle; spatial/image/LSH ops without
-  an oracle are rows-only by design (S2/phash/xxhash aren't SQL).
+  ``fairy_core_spark.queries`` — every operator from SURVEY.md §2 plus the
+  training-pipeline/join extensions, each paired with a DuckDB oracle
+  (non-SQL key derivations — minhash/simhash hashing, S2 tiling, image
+  phash — are replayed via engine-portable md5 arithmetic or frozen,
+  drift-tested goldens so the join/aggregation logic is still
+  cross-checked). Exactly two entries stay rows-only by design, each with
+  an inline justification: spatial_cell_encode (the output IS the S2 bit
+  math) and image_validate (binary decode + PSNR report).
 """
 
 from __future__ import annotations
