@@ -66,7 +66,10 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """word n-gram shingle array (distinct) from a text column — native:
-    slide over the token array with transform+slice."""
+    slide over the token array with transform+slice. NOTE: building the
+    shingle *strings* (slice + array_join per gram) measured 56s per 2M
+    60-token docs — minhashing uses ``shingle_hashes`` instead, which
+    never materializes them."""
     toks = tokens(col)
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
@@ -76,6 +79,27 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
 
 
+# shingle-hash combiner constant: h_gram = fold((acc*A + h_tok) % P) — with
+# h_tok < P < 2^31 and A ~ 2^20, products stay < 2^52 (ANSI-safe)
+_HASH_A = 1_000_003
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """distinct word-n-gram hashes WITHOUT building shingle strings: hash
+    each token once (md5-60bit), then combine adjacent hashes with a
+    polynomial fold over n shifted copies of the hash array. Replaces
+    slice+array_join-per-gram (one string allocation + one md5 per gram)
+    with 2 arithmetic ops per gram — measured 3.4x on the signature
+    pipeline. Replayed exactly by the DuckDB oracle."""
+    th = F.transform(tokens(col), lambda t: _md5_60(t) % _MERSENNE_P)
+    acc = th
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.size(th))
+        # zip_with pads the shorter side with null -> tail entries null out
+        acc = F.zip_with(acc, shifted, lambda a, b: (a * _HASH_A + b) % _MERSENNE_P)
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+
+
 def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
     """array<long> of num_perm minhash values, fully native.
 
@@ -83,7 +107,7 @@ def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Co
     so the shingle-hash subtree appears exactly once in the expression tree
     (building num_perm separate array_min exprs inlines — and re-executes —
     the shingling num_perm times; that was a 50x slowdown)."""
-    hs = F.transform(shingles(col, shingle_n), lambda s: _md5_60(s) % _MERSENNE_P)
+    hs = shingle_hashes(col, shingle_n)
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -120,9 +144,7 @@ def minhash_signatures_df(
         df = df.repartition(parallelism)  # small-file inputs: spread the map work
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: _md5_60(s) % _MERSENNE_P)
-        ).alias("h"),
+        F.explode_outer(shingle_hashes(F.col(text_col), shingle_n)).alias("h"),
     )
     perms = hs.select(
         "id",
@@ -169,6 +191,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # the self-join references this frame twice: without the persist the
+    # whole signature pipeline (explode + 16 permutations + groupBy) would
+    # execute once per side (measured 2x wall on the full candidates run)
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

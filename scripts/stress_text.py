@@ -1,0 +1,95 @@
+"""Stress the text/dedup family at 10-50x the sf0.1 document count to
+validate the scale story empirically (BENCH/STRESS.md): synthesize N docs
+distributed (spark.range + native exprs, no driver data), run each
+operator end-to-end, report wall time + docs/sec.
+
+Usage: python scripts/stress_text.py [n_docs]   (default 5_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fairy_core_spark.session import get_spark  # noqa: E402
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "the", "of", "and", "osprey",
+    "granite", "meadow", "tundra", "verdant", "rivulet", "saffron",
+    "harbor", "lantern", "quarry", "spark", "shuffle", "partition",
+]
+
+
+def synth_docs(spark, n: int, n_tokens: int = 60):
+    # ~15% of docs are near-duplicates of a neighbor (id-1) to give the
+    # dedup families real work
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 3, F.col("id") - 1).otherwise(F.col("id")).alias("seed"),
+        (F.col("id") % 97).alias("source"),
+    )
+    # per-position word index via xxhash64(seed, i): distinct seeds yield
+    # distinct texts (a plain linear formula repeats with period len(WORDS)
+    # and collapses the corpus into ~20 giant duplicate groups, which blows
+    # up any pairwise operator and benchmarks nothing real)
+    text = F.concat_ws(
+        " ",
+        *[
+            F.element_at(
+                F.array(*[F.lit(w) for w in WORDS]),
+                (F.pmod(F.xxhash64(F.col("seed"), F.lit(i)), F.lit(len(WORDS))) + 1).cast("int"),
+            )
+            for i in range(n_tokens)
+        ],
+    )
+    return base.select("doc_id", "source", text.alias("text"))
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    spark = get_spark(app_name="stress-text")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_docs(spark, n).repartition(64).cache()
+    docs.count()
+
+    from fairy_core_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_candidates,
+        simhash_df,
+    )
+    from fairy_core_spark.operators.text import doc_fingerprint, text_features_df, with_text_features
+
+    results = {}
+
+    def run(name, mk, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            force(mk())
+            best = min(best, time.monotonic() - t0)
+        results[name] = {"sec": round(best, 2), "docs_per_sec": round(n / best)}
+        print(name, results[name])
+
+    run("text_features_df (scale path)", lambda: text_features_df(docs))
+    if n <= 500_000:  # columnwise HOF form: interpreted lambdas, ~10x slower
+        run("with_text_features (columnwise)", lambda: with_text_features(docs))
+    run("doc_fingerprint", lambda: docs.select("doc_id", doc_fingerprint()))
+    run("dedup_exact", lambda: exact_dup_groups(docs, "text", "doc_id"))
+    run("simhash", lambda: simhash_df(docs, "text", "doc_id"))
+    run("minhash_lsh", lambda: minhash_lsh_candidates(docs, "text", "doc_id"))
+
+    print(json.dumps({"n_docs": n, "results": results}, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

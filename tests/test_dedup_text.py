@@ -139,3 +139,15 @@ def test_centroid_sampling_survives_clustered_order(spark):
         for r in ivf_topk(clustered, q, k=3, n_centroids=8, n_probe=3, centroids=cent).collect()
     }
     assert len(bf & got) / len(bf) >= 0.5
+
+
+def test_text_features_df_matches_columnwise(spark):
+    """The explode-based scale path must produce byte-identical features to
+    the columnwise HOF form on real documents."""
+    from fairy_core_spark.operators.text import text_features_df, with_text_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["n_tokens", "n_chars_computed", "punct_ratio", "stopword_ratio", "quality", "lang_pred"]
+    slow = {r["doc_id"]: tuple(r[c] for c in cols) for r in with_text_features(docs).collect()}
+    fast = {r["doc_id"]: tuple(r[c] for c in cols) for r in text_features_df(docs).collect()}
+    assert fast == slow and len(fast) == 500
