@@ -1,0 +1,105 @@
+"""Stress the spatial family at web-scale-ish point counts
+(BENCH/STRESS.md companion): deterministic synthetic points (10% in 3
+hotspot clusters for skew realism), broadcast PIP join, S2 encode, tile
+rollup, and grid kNN.
+
+Usage: python scripts/stress_spatial.py [n_points] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fairy_core_spark.session import get_spark  # noqa: E402
+
+
+def synth_points(spark, n: int):
+    """lat/lon from integer arithmetic; 10% remapped into 3 tight hotspots."""
+    base = spark.range(n).select(F.col("id").alias("pid"))
+    lat = ((F.col("pid") * 7919) % 120000) / 1000.0 - 60.0
+    lon = ((F.col("pid") * 104729) % 360000) / 1000.0 - 180.0
+    hot = F.col("pid") % 10 == 7
+    hot_idx = (F.col("pid") % 3).cast("int")
+    hot_lat = F.element_at(F.array(F.lit(40.71), F.lit(51.51), F.lit(35.68)), hot_idx + 1)
+    hot_lon = F.element_at(F.array(F.lit(-74.01), F.lit(-0.13), F.lit(139.69)), hot_idx + 1)
+    jit_lat = ((F.col("pid") * 31) % 2000) / 10000.0 - 0.1
+    jit_lon = ((F.col("pid") * 37) % 2000) / 10000.0 - 0.1
+    return base.select(
+        "pid",
+        F.when(hot, hot_lat + jit_lat).otherwise(lat).alias("lat"),
+        F.when(hot, hot_lon + jit_lon).otherwise(lon).alias("lon"),
+    )
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+    spark = get_spark(app_name="stress-spatial")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = synth_points(spark, n).repartition(64).cache()
+    pts.count()
+
+    from fairy_core_spark.datagen.images import polygons_pdf
+    from fairy_core_spark.spatial.ops import (
+        knn_join,
+        spatial_join_broadcast,
+        with_cell,
+    )
+
+    results = {}
+
+    def run(name, mk, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            force(mk())
+            best = min(best, time.monotonic() - t0)
+        results[name] = {"sec": round(best, 2), "points_per_sec": round(n / best)}
+        print(name, results[name])
+
+    polys = polygons_pdf(100)
+    run("cell_encode_l12", lambda: with_cell(pts, level=12))
+    run(
+        "tile_rollup_l7",
+        lambda: with_cell(pts, level=7, out="tile")
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("lat"), F.avg("lon")),
+    )
+    run(
+        "pip_join_broadcast",
+        lambda: spatial_join_broadcast(
+            pts.withColumn("pid", F.col("pid").cast("string")), polys, id_col="pid"
+        ),
+    )
+
+    queries = pts.where(F.col("pid") % (n // n_q) == 0).withColumnRenamed("pid", "query_id")
+    t0 = time.monotonic()
+    got = knn_join(
+        pts.withColumnRenamed("pid", "id"), queries, k=5, id_col="id", query_id_col="query_id"
+    )
+    n_res = got.count()
+    dt = time.monotonic() - t0
+    results["knn_k5"] = {
+        "sec": round(dt, 2),
+        "n_queries": queries.count(),
+        "result_rows": n_res,
+        "queries_per_sec": round(queries.count() / dt),
+    }
+    print("knn_k5", results["knn_k5"])
+
+    print(json.dumps({"n_points": n, "results": results}, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
