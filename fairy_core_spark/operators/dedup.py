@@ -166,9 +166,16 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     n_bands: int = 4,
     shingle_n: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
-    rows-per-band = num_perm/n_bands; similarity threshold ~ (1/b)^(1/r)."""
+    rows-per-band = num_perm/n_bands; similarity threshold ~ (1/b)^(1/r).
+
+    ``persist`` caches the banded frame across the two sides of the
+    self-join (without it the whole signature pipeline executes twice —
+    measured 2x wall). The cache is released by Spark's ContextCleaner
+    once the returned DataFrame is garbage-collected; long-lived sessions
+    issuing many calls can pass persist=False or clear explicitly."""
     assert num_perm % n_bands == 0
     r = num_perm // n_bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_perm, shingle_n)
@@ -191,10 +198,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    # the self-join references this frame twice: without the persist the
-    # whole signature pipeline (explode + 16 permutations + groupBy) would
-    # execute once per side (measured 2x wall on the full candidates run)
-    banded = banded.persist()
+    if persist:
+        banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -156,7 +156,11 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     evaluates INTERPRETED (measured ~12k docs/s at 60 tokens/doc). For
     whole-corpus feature passes use ``text_features_df`` (explode +
     codegen aggregate, ~10x)."""
-    c = F.col(text_col)
+    # NULL text behaves exactly like empty text (0 tokens, empty-doc
+    # quality, 'und') — without the coalesce the null propagates through
+    # some features but not others (F.least skips nulls), yielding
+    # quality=0.7/lang='de' nonsense for null docs
+    c = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         "*",
         token_count(c).alias("n_tokens"),
@@ -175,8 +179,13 @@ def text_features_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     (map-side combined — the shuffle carries 7 longs per doc per
     partition), ratios/quality/lang assembled natively from the aggregates.
     No higher-order functions anywhere; output equality with the
-    columnwise form is pinned by tests."""
-    c = F.col(text_col)
+    columnwise form is pinned by tests (including NULL text, which both
+    forms treat as empty).
+
+    Precondition: ``id_col`` values are unique and non-null — this form is
+    keyed by id (one output row per id), unlike the row-preserving
+    columnwise projection; duplicate ids would merge their token stats."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(tokens(c))
     base = df.select(
         F.col(id_col).alias("id"),

@@ -82,18 +82,24 @@ def main() -> int:
         ),
     )
 
-    queries = pts.where(F.col("pid") % (n // n_q) == 0).withColumnRenamed("pid", "query_id")
-    t0 = time.monotonic()
-    got = knn_join(
-        pts.withColumnRenamed("pid", "id"), queries, k=5, id_col="id", query_id_col="query_id"
-    )
-    n_res = got.count()
-    dt = time.monotonic() - t0
+    queries = pts.where(F.col("pid") % (n // n_q) == 0).withColumnRenamed(
+        "pid", "query_id"
+    ).cache()
+    nq = queries.count()
+    best, n_res = float("inf"), 0
+    for _ in range(2):  # best-of-2, consistent with the other rows
+        t0 = time.monotonic()
+        got = knn_join(
+            pts.withColumnRenamed("pid", "id"), queries, k=5,
+            id_col="id", query_id_col="query_id",
+        )
+        n_res = got.count()
+        best = min(best, time.monotonic() - t0)
     results["knn_k5"] = {
-        "sec": round(dt, 2),
-        "n_queries": queries.count(),
+        "sec": round(best, 2),
+        "n_queries": nq,
         "result_rows": n_res,
-        "queries_per_sec": round(queries.count() / dt),
+        "queries_per_sec": round(nq / best),
     }
     print("knn_k5", results["knn_k5"])
 

@@ -151,3 +151,38 @@ def test_text_features_df_matches_columnwise(spark):
     slow = {r["doc_id"]: tuple(r[c] for c in cols) for r in with_text_features(docs).collect()}
     fast = {r["doc_id"]: tuple(r[c] for c in cols) for r in text_features_df(docs).collect()}
     assert fast == slow and len(fast) == 500
+
+
+def test_text_features_null_text_both_forms(spark):
+    """NULL text behaves exactly like empty text in BOTH feature forms
+    (the pre-fix columnwise form let nulls leak through F.least, yielding
+    quality=0.7/lang='de' for null docs)."""
+    from fairy_core_spark.operators.text import text_features_df, with_text_features
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the quick fox")],
+        "doc_id long, text string",
+    )
+    cols = ["n_tokens", "punct_ratio", "stopword_ratio", "quality", "lang_pred"]
+    slow = {r["doc_id"]: tuple(r[c] for c in cols) for r in with_text_features(df).collect()}
+    fast = {r["doc_id"]: tuple(r[c] for c in cols) for r in text_features_df(df).collect()}
+    assert fast == slow
+    assert slow[1] == slow[2]  # null == empty
+    assert slow[1][0] == 0 and slow[1][4] == "und"
+
+
+def test_shingles_strings_contract(spark):
+    """shingles() (the string form, kept as public API) yields the distinct
+    word 3-grams; shingle_hashes yields one hash per distinct gram."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.operators.dedup import shingle_hashes, shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d c d"), (2, "x y"), (3, "")], "i long, t string"
+    )
+    got = {r["i"]: sorted(r["s"]) for r in df.select("i", shingles(F.col("t")).alias("s")).collect()}
+    assert got[1] == ["a b c", "b c d", "c d c", "d c d"]
+    assert got[2] == [] and got[3] == []
+    nh = {r["i"]: r["n"] for r in df.select("i", F.size(shingle_hashes(F.col("t"))).alias("n")).collect()}
+    assert nh == {1: 4, 2: 0, 3: 0}
