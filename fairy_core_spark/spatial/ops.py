@@ -199,6 +199,74 @@ def spatial_join_cells(
     return cand.mapInPandas(refine, schema=schema).dropDuplicates([id_col, "polygon_id"])
 
 
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int | None = None,
+) -> DataFrame:
+    """Distance (radius) join: all (query, point) pairs within ``radius_m``
+    haversine meters. Exact, never a cross join: the grid level is chosen
+    so one Chebyshev ring covers the radius (cell min-width >= radius),
+    queries explode to their ring-0..1 cells, candidates arrive via the
+    cell equi-join, a haversine filter refines. Candidates per query ~
+    points in 9 cells — the bin-bounded 2-D analogue of
+    operators/joins.interval_join_binned. Output: (query_id, neighbor_id,
+    distance_m), self-pairs included if present in both sides."""
+    import math
+
+    if level is None:
+        # largest level whose min cell width still covers the radius:
+        # then ring 1 (the 8 neighbors + own cell) covers the disk
+        level = 0
+        while level < 16 and s2.min_width_rad(level + 1) * 6371000.0 >= radius_m:
+            level += 1
+    pts = (
+        with_cell(points.select(F.col(id_col).alias("nid"), lat_col, lon_col),
+                  lat_col, lon_col, level)
+        .withColumnRenamed(lat_col, "nlat")
+        .withColumnRenamed(lon_col, "nlon")
+    )
+    q0 = with_cell(
+        queries.select(F.col(query_id_col).alias("qid"), lat_col, lon_col),
+        lat_col, lon_col, level,
+    ).withColumnRenamed(lat_col, "qlat").withColumnRenamed(lon_col, "qlon")
+
+    @F.pandas_udf("array<long>")
+    def _disk_cells(cell: pd.Series) -> pd.Series:
+        arr = cell.to_numpy(np.int64)
+        out: list[list[int]] = [None] * len(arr)
+        interior = s2.ring_is_interior(arr, level, 1)
+        if interior.any():
+            ring1 = s2.ring_interior(arr[interior], level, 1)
+            for slot, c, row in zip(np.nonzero(interior)[0], arr[interior], ring1):
+                out[slot] = sorted({int(c), *(int(x) for x in row)})
+        for slot in np.nonzero(~interior)[0]:
+            nbrs = s2.neighbors(np.array([arr[slot]], dtype=np.int64), level)[0]
+            out[slot] = sorted({int(arr[slot]), *(int(x) for x in nbrs)})
+        return pd.Series(out)
+
+    cand = (
+        q0.withColumn("cells", _disk_cells(F.col("cell")))
+        .select("qid", "qlat", "qlon", F.explode("cells").alias("cell"))
+        .join(pts, "cell")
+    )
+    dist = haversine_udf()(F.col("qlat"), F.col("qlon"), F.col("nlat"), F.col("nlon"))
+    return (
+        cand.withColumn("distance_m", dist)
+        .where(F.col("distance_m") <= float(radius_m))
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("nid").alias("neighbor_id"),
+            F.round("distance_m", 3).alias("distance_m"),
+        )
+    )
+
+
 def choose_knn_level(n_points: int, k: int) -> int:
     """Density-adaptive grid level: coarse enough that an average cell
     holds >= ~2k points, so ring-0/1 usually resolves. 6*4^L cells cover

@@ -136,3 +136,33 @@ def test_pip_annotate_matches_join(spark, points_pdf, polys):
         for r in ann.select("image_id", F.explode("polygon_ids").alias("polygon_id")).collect()
     }
     assert got == brute_force_pip(points_pdf, polys)
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """radius_join (one-ring cell cover + haversine refine) equals the
+    brute-force theta join, including near-face-edge points."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.functions.geometry import haversine_m
+    from fairy_core_spark.spatial.ops import radius_join
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-70, 70, 400)
+    lon = rng.uniform(-179, 179, 400)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(400)],
+        "id long, lat double, lon double",
+    )
+    queries = pts.where(F.col("id") < 60).withColumnRenamed("id", "query_id")
+    r = 500_000.0
+    got = {
+        (x["query_id"], x["neighbor_id"])
+        for x in radius_join(pts, queries, radius_m=r).collect()
+    }
+    want = set()
+    for qi in range(60):
+        d = haversine_m(np.full(400, lat[qi]), np.full(400, lon[qi]), lat, lon)
+        for ni in np.nonzero(d <= r)[0]:
+            want.add((qi, int(ni)))
+    assert got == want and len(want) >= 60  # self-pairs + real neighbors
