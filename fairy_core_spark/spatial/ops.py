@@ -222,6 +222,13 @@ def radius_join(
     if level is None:
         # largest level whose min cell width still covers the radius:
         # then ring 1 (the 8 neighbors + own cell) covers the disk
+        if radius_m > s2.min_width_rad(0) * 6371000.0:
+            raise ValueError(
+                f"radius_m={radius_m:,.0f} exceeds the level-0 cell width "
+                f"(~{s2.min_width_rad(0) * 6371000.0:,.0f} m); the one-ring "
+                "cover guarantee does not hold for near-hemispheric radii — "
+                "use a brute-force join at that scale"
+            )
         level = 0
         while level < 16 and s2.min_width_rad(level + 1) * 6371000.0 >= radius_m:
             level += 1

@@ -166,3 +166,17 @@ def test_radius_join_matches_bruteforce(spark):
         for ni in np.nonzero(d <= r)[0]:
             want.add((qi, int(ni)))
     assert got == want and len(want) >= 60  # self-pairs + real neighbors
+
+
+def test_radius_join_rejects_hemispheric_radius(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import radius_join
+
+    pts = spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.0).alias("lat"), (F.col("id") * 2.0).alias("lon")
+    )
+    q = pts.withColumnRenamed("id", "query_id")
+    with pytest.raises(ValueError, match="one-ring cover"):
+        radius_join(pts, q, radius_m=8_000_000.0)
