@@ -126,3 +126,24 @@ def test_rule_predicates_match_pandas_reference(spark, cells):
         assert got[i][0] == bool(want_nul[i]), (cells[i], "nullish")
         assert got[i][1] == bool(want_rng[i]), (cells[i], "range")
         assert got[i][2] == bool(want_enm[i]), (cells[i], "enum")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=500),
+    st.sampled_from([4000, 8000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    """PCM16 encode/decode round-trips any [-1,1] signal within two
+    quantization steps (half-step rounding + the 32767-encode/32768-decode
+    scale asymmetry contributes up to |x|/32768), preserves length/rate,
+    and stays inside [-1,1]."""
+    import numpy as np
+
+    from fairy_core_spark.functions.av_codec import decode_wav, encode_wav
+
+    x = np.array(samples)
+    y, r = decode_wav(encode_wav(x, rate))
+    assert r == rate and y.shape == (len(x), 1)
+    assert np.abs(y[:, 0] - x).max() <= 2.0 / 32768 + 1e-12
+    assert y.min() >= -1.0 and y.max() <= 1.0
