@@ -76,6 +76,15 @@ def main() -> int:
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "300000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # The JSON result line must be the LAST thing on stdout even if the
+    # caller merges stderr into stdout (round-2's artifact was erased by
+    # pyspark daemon BrokenPipeError shutdown noise). Route fd 1 to stderr
+    # for the whole Spark lifetime - the JVM and Python worker daemons
+    # inherit it, so nothing they print can ever reach the real stdout -
+    # then restore fd 1 only for the final result line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fairy_core_spark.queries import queries as load_queries
     from fairy_core_spark.session import get_spark
@@ -113,7 +122,27 @@ def main() -> int:
         "n_images": n_images,
         "cpus": cpus,
     }
-    print(json.dumps(out, sort_keys=True))
+    line = json.dumps(out, sort_keys=True)
+
+    # Durable copy the driver/judge can always read, written before any
+    # teardown can fail.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # non-fatal: stdout line below is the contract
+        print(f"bench: could not write BENCH/last.json: {exc}", file=sys.stderr)
+
+    # Tear Spark down and let worker daemons finish dying BEFORE the result
+    # line, so their BrokenPipeError spew cannot land after it.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    time.sleep(3)
+
+    os.dup2(real_stdout, 1)  # restore the real stdout for the one line
+    os.write(1, (line + "\n").encode())
     return 0
 
 

@@ -317,14 +317,30 @@ def embedding_cosine_dups(
     n_planes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, blocked by a random-
-    hyperplane sign bucket (vectors this similar almost surely share the
-    bucket; bucket count 2^n_planes bounds the self-join)."""
+    """Near-duplicate pairs by cosine >= threshold via OR-amplified
+    random-hyperplane LSH.
+
+    A single sign bucket of ``n_planes`` hyperplanes catches a true pair at
+    angle theta only with probability p = (1 - theta/pi)^n_planes — at
+    cosine 0.95 / n_planes=8 that is ~0.43, a real recall hole. So we run
+    ``n_tables`` INDEPENDENT bucket tables (fresh planes per table) and OR
+    the candidate sets: recall = 1 - (1 - p)^L. Defaults (8 planes x 8
+    tables) give ~0.99 expected recall for cosine-0.95 pairs (pinned by a
+    planted-pair test in tests/test_dedup.py).
+
+    Plan shape: one projection computes all L buckets + the norm, explodes
+    to (id, table, bucket) — the self-join shuffles ONLY those small keys,
+    never the vectors; candidates are distinct'd, then vectors re-attach via
+    two equi-joins for a single cosine refine per surviving pair. Bucket
+    count 2^n_planes per table bounds the join fan-out; hot buckets are
+    AQE-splittable. At 10^12 rows the tunables are n_planes (precision /
+    bucket size) and n_tables (recall)."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = dim or (first["d"] if first else 0)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, d))
+    planes = rng.standard_normal((n_tables * n_planes, d))
 
     def dot_expr(vec: Column, w: Sequence[float]) -> Column:
         return F.aggregate(
@@ -337,10 +353,13 @@ def embedding_cosine_dups(
             lambda acc, x: acc + x,
         )
 
-    bucket = None
-    for k in range(n_planes):
-        bit = (dot_expr(F.col(vec_col), planes[k]) > 0).cast("int")
-        bucket = bit if bucket is None else bucket * 2 + bit
+    buckets = []
+    for t in range(n_tables):
+        bucket = None
+        for k in range(n_planes):
+            bit = (dot_expr(F.col(vec_col), planes[t * n_planes + k]) > 0).cast("int")
+            bucket = bit if bucket is None else bucket * 2 + bit
+        buckets.append(bucket)
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda v: v.cast("double") * v.cast("double")),
@@ -351,23 +370,35 @@ def embedding_cosine_dups(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        bucket.alias("bucket"),
         norm.alias("norm"),
+        F.array(*buckets).alias("buckets"),
+    ).persist()
+    banded = base.select(
+        "id", F.posexplode("buckets").alias("tbl", "bucket")
     )
-    a, b = base.alias("a"), base.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -86,6 +86,36 @@ def test_fingerprint_deterministic(spark, docs):
     assert a[1] == a[4] and a[1] != a[2]
 
 
+def test_embedding_cosine_planted_recall(spark):
+    """OR-amplified LSH must find >=95% of planted cosine-0.97 pairs at the
+    production defaults (8 planes x 8 tables) — the round-2 single-bucket
+    form measured only ~0.43 expected recall here."""
+    rng = np.random.default_rng(11)
+    dim, n_base, n_planted = 32, 300, 80
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    c = 0.97
+    rows = [(i, base[i].astype(float).tolist()) for i in range(n_base)]
+    for i in range(n_planted):
+        noise = rng.standard_normal(dim)
+        noise -= noise @ base[i] * base[i]  # orthogonal component
+        noise /= np.linalg.norm(noise)
+        partner = c * base[i] + np.sqrt(1 - c * c) * noise  # exact cosine c
+        rows.append((1000 + i, partner.astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_dups(
+            df, "embedding", "vec_id", threshold=0.95, dim=dim
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(n_planted)}
+    recall = len(found & planted) / n_planted
+    assert recall >= 0.95, f"planted-pair recall {recall:.3f} < 0.95"
+    # precision side: nothing below the threshold sneaks through the refine
+    assert all(pair in planted for pair in found)
+
+
 def test_ivf_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.where("vec_id < 8")
