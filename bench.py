@@ -39,6 +39,18 @@ HEADLINE = [
 ]
 
 
+def _bulk_cell_encode(spark, sf_dir: str):
+    """The original bulk benchmark body of spatial_cell_encode (level-12 S2
+    encode over synthesized customer points). The queries() entry of that
+    name is now the 18-anchor published-values gate query, so bench keeps
+    timing the bulk path here to stay comparable with BENCH_r01/r02."""
+    from fairy_core_spark.queries import _synth_points, _t
+    from fairy_core_spark.spatial.ops import with_cell
+
+    pts = _synth_points(_t(spark, sf_dir, "customer"), "c_custkey")
+    return with_cell(pts, level=12).select("point_id", "cell")
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -103,8 +115,9 @@ def main() -> int:
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        fn = _bulk_cell_encode if name == "spatial_cell_encode" else qs[name]
         t0 = time.monotonic()
-        _force(qs[name](spark, sf_dir))
+        _force(fn(spark, sf_dir))
         dt = time.monotonic() - t0
         per_query[name] = round(dt, 3)
         total += dt

@@ -227,6 +227,83 @@ def cmd_rulepack(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Legacy v0 single-CSV summarize (reference cli/run.py:378-410 interface
+    over the :127-151 payload): resolve the input (file, or folder with
+    exactly one CSV), validate via the registry, and either pretty-print the
+    v0 payload (--dry-run) or write report.json + report.md to --out."""
+    from fairy_core_spark.plans.report_v0 import (
+        build_payload_v0,
+        emit_markdown_v0,
+        resolve_input_path,
+        write_report_v0,
+    )
+
+    try:
+        csv_path = resolve_input_path(args.input)
+    except FileNotFoundError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="fairy-run", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    payload, _ = build_payload_v0(csv_path, kind=args.kind)
+    if args.dry_run:
+        print(json.dumps(payload, ensure_ascii=False, indent=2, sort_keys=True))
+        return 0
+    out_dir = args.out
+    report_path = write_report_v0(
+        out_dir,
+        filename=payload["dataset_id"]["filename"],
+        sha256=payload["dataset_id"]["sha256"],
+        meta={
+            "n_rows": payload["summary"]["n_rows"],
+            "n_cols": payload["summary"]["n_cols"],
+            "fields_validated": payload["summary"]["fields_validated"],
+            "warnings": payload["warnings"],
+        },
+        input_path=csv_path,
+    )
+    emit_markdown_v0(os.path.join(out_dir, "report.md"), payload)
+    print(f"wrote {report_path}")
+    return 0
+
+
+def demo_alias_main() -> int:
+    """Deprecated alias for the old single-CSV interface (reference
+    cli/run.py:378-410): same --input/--out/--dry-run/--kind flags,
+    forwarded to the ``run`` subcommand with a deprecation warning."""
+    print(
+        "warning: the demo alias is deprecated; use "
+        "`python -m fairy_core_spark.cli run --input <csv>` instead.",
+        file=sys.stderr,
+    )
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", default="project_dir/reports")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--kind", default="rna")
+    old, _ = ap.parse_known_args()
+    argv = ["run", "--input", old.input, "--out", old.out, "--kind", old.kind]
+    if old.dry_run:
+        argv.append("--dry-run")
+    return main(argv)
+
+
+def _version_text() -> str:
+    """Top-level --version block (reference cli/run.py:116-124)."""
+    from fairy_core_spark.plans.report import ENGINE_VERSION
+
+    return "\n".join(
+        [
+            f"fairy_core_version: {ENGINE_VERSION}",
+            "rulepack_name: default",
+            "rulepack_version: 0.0.0",
+            "rulepack_source_path: (built-in)",
+        ]
+    )
+
+
 def cmd_pipeline(args) -> int:
     from fairy_core_spark.pipeline.runner import PipelineRunner, image_pipeline_stages
 
@@ -239,6 +316,11 @@ def cmd_pipeline(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # top-level --version with no subcommand (reference cli/run.py:221-224)
+    if argv == ["--version"]:
+        print(_version_text())
+        return 0
     ap = argparse.ArgumentParser(prog="fairy-core-spark")
     ap.add_argument("--master", default=None)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -272,6 +354,13 @@ def main(argv: list[str] | None = None) -> int:
         help="preflight profile id (geo | spellbook | generic; ADR-0007)",
     )
     p.set_defaults(fn=cmd_preflight)
+
+    r = sub.add_parser("run", help="legacy v0 single-CSV summarize (registry validators)")
+    r.add_argument("--input", required=True, help="CSV file, or folder with exactly one CSV")
+    r.add_argument("--out", default="project_dir/reports", help="output dir for report.json/.md")
+    r.add_argument("--dry-run", action="store_true", help="print the v0 payload JSON instead")
+    r.add_argument("--kind", default="rna", help="registry validator kind: rna | generic | ...")
+    r.set_defaults(fn=cmd_run)
 
     pl = sub.add_parser("pipeline", help="image validate->encode->join->tile job")
     pl.add_argument("--out-dir", required=True)

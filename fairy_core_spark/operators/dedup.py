@@ -286,11 +286,22 @@ def ngram_jaccard_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.5,
+    hash_tokens: bool = True,
 ) -> DataFrame:
     """Blocked pairwise token-set Jaccard: pairs within the same block with
     jaccard >= threshold. Native arrays; the block key is the scale lever
-    (e.g. a domain/source/LSH bucket at 100 TB, never a cross join)."""
+    (e.g. a domain/source/LSH bucket at 100 TB, never a cross join).
+
+    With ``hash_tokens`` (default), tokens are hashed to 60-bit ints BEFORE
+    the self-join: Jaccard over the hashed sets is value-identical (md5-60
+    collisions are negligible and the DuckDB oracle replays the same hash),
+    while the join shuffle carries 8-byte ints instead of full token
+    strings (~4-8x fewer bytes both sides — the round-2 scale-weak
+    finding). ``hash_tokens=False`` keeps the raw-string sets (exact even
+    under adversarial collisions; measurably slower, see BENCH/STRESS.md)."""
     toks = F.array_distinct(tokens(F.col(text_col)))
+    if hash_tokens:
+        toks = F.array_distinct(F.transform(tokens(F.col(text_col)), _md5_60))
     base = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"), toks.alias("toks")
     )

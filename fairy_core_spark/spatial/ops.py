@@ -376,13 +376,21 @@ def knn_join(
             .join(pts, "cell")
         )
         batch = score(cand)
+        # No per-round dedup: a point's cell sits at exactly ONE Chebyshev
+        # distance from the query cell, and both ring paths (offset
+        # arithmetic / BFS frontier) emit exactly the distance-r cells, so
+        # (qid, nid) pairs are disjoint across rounds by construction.
+        # Round 2 re-shuffled the whole accumulated set every round; now
+        # union is free and one dedup runs at the end (fallback safety).
         results = batch if results is None else results.unionByName(batch)
-        results = results.dropDuplicates(["qid", "nid"]).localCheckpoint(eager=False)
+        results = results.localCheckpoint(eager=False)  # truncate union lineage
 
-        # resolved iff k found AND kth distance inside the ring-r guarantee
+        # resolved iff k found AND kth distance inside the ring-r guarantee;
+        # the window only needs rows for still-unresolved queries
         guaranteed = r * min_width_m
+        active = results.join(unresolved.select("qid"), "qid", "left_semi")
         kth = (
-            results.withColumn("rank", F.row_number().over(w))
+            active.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .groupBy("qid")
             .agg(F.count(F.lit(1)).alias("n"), F.max("distance_m").alias("dk"))
@@ -394,12 +402,14 @@ def knn_join(
             break
 
     if unresolved is not None and not unresolved.isEmpty():
-        # exact fallback for the stragglers (tiny after adaptive leveling)
+        # exact fallback for the stragglers (tiny after adaptive leveling);
+        # overlaps the ring candidates, handled by the final dedup
         brute = score(unresolved.select("qid", "qlat", "qlon").crossJoin(pts))
-        results = results.unionByName(brute).dropDuplicates(["qid", "nid"])
+        results = results.unionByName(brute)
 
     final = (
-        results.withColumn("rank", F.row_number().over(w))
+        results.dropDuplicates(["qid", "nid"])
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias(query_id_col),

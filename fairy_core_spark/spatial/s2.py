@@ -77,8 +77,10 @@ def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
     comp = np.choose(axis, [x, y, z])
     face = axis + np.where(comp < 0, 3, 0)
-    # per-face u/v formulas (see module docstring; published mapping)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # per-face u/v formulas (see module docstring; published mapping).
+    # np.select evaluates all six branches, so the five discarded ones can
+    # divide by ~0 — overflow/divide/invalid are all harmless there.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
             [y / x, -x / y, -x / z, z / x, z / y, -y / z],

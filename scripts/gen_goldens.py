@@ -146,6 +146,21 @@ def gen_checks_dialect_golden() -> None:
     print(f"wrote {p}")
 
 
+def gen_report_v0_goldens() -> None:
+    """Freeze the reference's legacy v0 dry-run payload (cli/run.py
+    _build_payload) on the rna fixtures; version/run_at are volatile and
+    stripped — dataset_id.sha256 stays (same file bytes in both engines)."""
+    from fairy.cli.run import _build_payload
+
+    for fix in ("rna_samples", "rna_missing_col"):
+        payload, _ = _build_payload(FIX / f"{fix}.csv", kind="rna")
+        payload.pop("version", None)
+        payload.pop("run_at", None)
+        out = GOLD / f"report_v0.{fix}.json"
+        out.write_text(json.dumps(payload, indent=2, sort_keys=True) + "\n")
+        print(f"wrote {out}  warnings={len(payload['warnings'])}")
+
+
 def main() -> None:
     GOLD.mkdir(parents=True, exist_ok=True)
     for name, (inputs, rp_path) in CASES.items():
@@ -157,6 +172,7 @@ def main() -> None:
         print(f"wrote {out}  summary={norm['summary']}")
     gen_preflight_golden()
     gen_checks_dialect_golden()
+    gen_report_v0_goldens()
 
 
 if __name__ == "__main__":

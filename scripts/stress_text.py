@@ -64,6 +64,7 @@ def main() -> int:
     from fairy_core_spark.operators.dedup import (
         exact_dup_groups,
         minhash_lsh_candidates,
+        ngram_jaccard_pairs,
         simhash_df,
     )
     from fairy_core_spark.operators.text import doc_fingerprint, text_features_df, with_text_features
@@ -86,6 +87,13 @@ def main() -> int:
     run("dedup_exact", lambda: exact_dup_groups(docs, "text", "doc_id"))
     run("simhash", lambda: simhash_df(docs, "text", "doc_id"))
     run("minhash_lsh", lambda: minhash_lsh_candidates(docs, "text", "doc_id"))
+    # pairwise family needs a fine block key to bound the pair blow-up:
+    # ~100 docs/block -> ~5k pairs/block, realistic for a post-LSH refine
+    fine = docs.withColumn("blk", F.pmod(F.col("doc_id"), F.lit(20011)))
+    run("ngram_jaccard (hashed tokens)",
+        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5))
+    run("ngram_jaccard (string tokens)",
+        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5, hash_tokens=False))
 
     print(json.dumps({"n_docs": n, "results": results}, sort_keys=True))
     return 0
