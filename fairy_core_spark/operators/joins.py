@@ -10,7 +10,13 @@ DataFrame ops — no UDFs, no cross joins.
   rows. ONE shuffle + sort on the key — never the left x right-per-key
   blow-up of the naive join+rank form (a hot user with 10^4 events and
   10^4 purchases would produce 10^8 join rows; the union form keeps it at
-  2x10^4 rows).
+  2x10^4 rows). Skew note: the window partitions by key ONLY, so one
+  pathologically hot key's entire merged event+purchase history sorts on
+  a single task — inherent to per-key as-of ordering (every event needs
+  the running latest purchase). If a key's history outgrows a task,
+  pre-split it by coarse time bucket, run the as-of per bucket, and
+  stitch bucket boundaries with a second tiny as-of over the per-bucket
+  last rows; not built in because no contract dataset comes close.
 - ``interval_join_binned``: point-in-interval equi-join via binning:
   intervals explode to the fixed-width bins they cover, points map to
   their bin, the bin equi-join bounds candidates, an exact range filter
