@@ -1,0 +1,122 @@
+"""Structured Streaming tile rollup — the streaming analogue of the north
+pipeline's raster→vector tiling stage (spatial/ops.py ``tile_assign`` /
+``tile_aggregates``). The reference is batch-only (SURVEY.md §2.7); a
+100 TB ingest pipeline wants per-tile statistics *as images land*: encode
+each arriving (lat, lon) to its S2 tile — the same Arrow ``cell_udf``
+projection used in batch, projections stream for free — then a
+watermark-closed windowed aggregation per (window, tile).
+
+Streaming constraints honored:
+
+- **No exact countDistinct** in a streaming agg: the per-tile phash-dup
+  statistic uses ``approx_count_distinct`` (HLL, mergeable partial state —
+  exactly what an unbounded rollup should carry; the batch path keeps the
+  exact two-level form). The relative error bound is a parameter.
+- **Single aggregation** (append mode allows one): the two-level exact
+  dedup rollup of the batch path is not expressible, so the exact variant
+  is offered via ``foreach_batch_tile_writer`` (per-micro-batch batch
+  plan + idempotent overwrite of the window partition).
+- **Watermark closes windows**: a (window, tile) row is emitted once the
+  event-time watermark passes window end — late images inside the
+  watermark still count; later ones are dropped, observable in
+  ``numDroppedRows``.
+
+At 10^12 images the state is O(open windows × active tiles), independent
+of stream length — tiles whose windows closed hold no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fairy_core_spark.spatial.ops import TILE_LEVEL, with_cell
+
+
+def streaming_tile_rollup(
+    stream: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    level: int = TILE_LEVEL,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-(window, tile) streaming rollup: image count, mean dims, distinct
+    phash estimate (HLL with relative std deviation ``rsd``), dup estimate.
+
+    Returns a streaming DataFrame (window, tile_id, n_images, avg_w, avg_h,
+    approx_distinct_phash, approx_phash_dups) for ``writeStream`` in append
+    mode. Column set mirrors the batch ``tile_aggregates`` where streaming
+    semantics allow (exact dup counts need the batch path or
+    ``foreach_batch_tile_writer``).
+    """
+    tiled = with_cell(stream, lat_col, lon_col, level, out="tile_id")
+    tiled = tiled.withColumn("__event_ts", F.col(ts_col).cast("timestamp"))
+    win = F.window(F.col("__event_ts"), window, slide or window)
+    n = F.count(F.lit(1))
+    distinct_ph = F.approx_count_distinct("phash", rsd)
+    return (
+        tiled.withWatermark("__event_ts", watermark)
+        .groupBy(win.alias("window"), F.col("tile_id"))
+        .agg(
+            n.alias("n_images"),
+            F.round(F.avg("w"), 4).alias("avg_w"),
+            F.round(F.avg("h"), 4).alias("avg_h"),
+            distinct_ph.alias("approx_distinct_phash"),
+            F.greatest(F.lit(0), n - distinct_ph).alias("approx_phash_dups"),
+        )
+    )
+
+
+def foreach_batch_tile_writer(
+    catalog_root: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    level: int = TILE_LEVEL,
+    window: str = "10 minutes",
+):
+    """Exact-variant sink: a ``foreachBatch`` function that runs the BATCH
+    two-level exact dup rollup (spatial/ops.py ``tile_aggregates_annotated``
+    shape, minus PIP) over each micro-batch and appends
+    (window_start, tile_id, n_images, n_phash_dups, batch_id) rows
+    partitioned by window_start.
+
+    Exactness model: per-micro-batch exact, merged by downstream readers
+    summing over batch_id — the standard streaming→lakehouse pattern when
+    an aggregate (exact distinct) cannot live in stream state. Replayed
+    micro-batches overwrite their own (batch_id) output → idempotent.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        tiled = with_cell(batch_df, lat_col, lon_col, level, out="tile_id")
+        tiled = tiled.withColumn(
+            "window_start",
+            F.window(F.col(ts_col).cast("timestamp"), window).getField("start"),
+        )
+        lvl1 = tiled.groupBy("window_start", "tile_id", "phash").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("w").alias("sw"),
+            F.sum("h").alias("sh"),
+        )
+        out = (
+            lvl1.groupBy("window_start", "tile_id")
+            .agg(
+                F.sum("cnt").alias("n_images"),
+                F.round(F.sum("sw") / F.sum("cnt"), 4).alias("avg_w"),
+                F.round(F.sum("sh") / F.sum("cnt"), 4).alias("avg_h"),
+                (F.sum("cnt") - F.count(F.lit(1))).alias("n_phash_dups"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(catalog_root)
+        )
+
+    return _write
