@@ -136,6 +136,133 @@ class BBoxGridIndex:
         return out
 
 
+class STRtree:
+    """STR-packed (Sort-Tile-Recursive) R-tree over polygon bounding boxes
+    — the north rule's "broadcast R-tree polygon index" taken literally.
+
+    Bulk load: leaf entries (polygon bboxes) are sorted by lon-center,
+    sliced into ceil(sqrt(n/B)) vertical strips, each strip sorted by
+    lat-center, then packed into nodes of fanout ``B`` — the classic STR
+    recipe (Leutenegger et al., ICDE 1997), repeated upward to the root.
+
+    Layout: one flat numpy array set per level (node bboxes + child
+    ranges), no Python objects in the tree — the whole index serializes
+    as a handful of contiguous arrays inside the Arrow-UDF closure, so
+    Spark ships it once per executor like any broadcast.
+
+    Query is frontier-vectorized: a (point, node) frontier descends one
+    level per step via ``np.repeat`` over child counts; no per-point
+    Python loop. For the small-m fixture sets this matches the dense
+    bbox path; its value is m in the 10^4-10^6 range where the grid's
+    cell lists skew (coastal polygon pileups) while the R-tree stays
+    balanced by construction.
+    """
+
+    def __init__(self, polygons: dict[str, np.ndarray], fanout: int = 16):
+        self.ids = list(polygons.keys())
+        self.rings = [np.asarray(polygons[p], dtype=np.float64) for p in self.ids]
+        boxes = np.array(
+            [
+                [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
+                for r in self.rings
+            ],
+            dtype=np.float64,
+        )  # (n, 4): lat_min, lat_max, lon_min, lon_max
+        self.boxes = boxes
+        self.fanout = int(fanout)
+        # leaf_order[i] = polygon index of the i-th packed leaf entry
+        order = self._str_order(boxes)
+        self.leaf_order = order
+        # levels[0] = leaves' parents ... levels[-1] = root. Each level is
+        # (bbox: (k,4), child_start: (k,), child_end: (k,)) into the level
+        # below (level -1 below levels[0] = the packed leaf entries).
+        self.levels: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        cur = boxes[order]
+        while len(cur) > 1:
+            k = int(np.ceil(len(cur) / self.fanout))
+            starts = np.arange(k) * self.fanout
+            ends = np.minimum(starts + self.fanout, len(cur))
+            nb = np.empty((k, 4))
+            for i in range(k):  # k shrinks by fanout× per level; tiny
+                seg = cur[starts[i]:ends[i]]
+                nb[i] = (seg[:, 0].min(), seg[:, 1].max(), seg[:, 2].min(), seg[:, 3].max())
+            self.levels.append((nb, starts, ends))
+            cur = nb
+        # levels is bottom-up; queries walk top-down
+        self.levels.reverse()
+
+    def _str_order(self, boxes: np.ndarray) -> np.ndarray:
+        n = len(boxes)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        cx = (boxes[:, 2] + boxes[:, 3]) / 2  # lon center
+        cy = (boxes[:, 0] + boxes[:, 1]) / 2  # lat center
+        n_strips = int(np.ceil(np.sqrt(np.ceil(n / self.fanout))))
+        per_strip = int(np.ceil(n / n_strips))
+        by_x = np.argsort(cx, kind="stable")
+        out = []
+        for s in range(0, n, per_strip):
+            strip = by_x[s:s + per_strip]
+            out.append(strip[np.argsort(cy[strip], kind="stable")])
+        return np.concatenate(out)
+
+    def query_batch(self, lat: np.ndarray, lon: np.ndarray) -> list[tuple[int, int]]:
+        """(point_index, polygon_index) pairs whose bbox contains the
+        point; exact PIP refine is the caller's job."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        n = len(lat)
+        if n == 0 or len(self.boxes) == 0:
+            return []
+        if not self.levels:  # single polygon: root IS the one leaf entry
+            pts = np.arange(n)
+            nodes = np.zeros(n, dtype=np.int64)
+        else:
+            # frontier: every point starts at the root (node 0 of levels[0])
+            pts = np.arange(n)
+            nodes = np.zeros(n, dtype=np.int64)
+            for li, (nb, cs, ce) in enumerate(self.levels):
+                hit = (
+                    (lat[pts] >= nb[nodes, 0]) & (lat[pts] <= nb[nodes, 1])
+                    & (lon[pts] >= nb[nodes, 2]) & (lon[pts] <= nb[nodes, 3])
+                )
+                pts, nodes = pts[hit], nodes[hit]
+                if len(pts) == 0:
+                    return []
+                counts = ce[nodes] - cs[nodes]
+                starts = cs[nodes]
+                pts = np.repeat(pts, counts)
+                # children are contiguous [start, end): start + local offset,
+                # offsets built without a Python loop
+                total = int(counts.sum())
+                offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+                nodes = np.repeat(starts, counts) + offs
+        # nodes now index packed LEAF entries; test the entry bboxes
+        poly = self.leaf_order[nodes]
+        b = self.boxes[poly]
+        hit = (lat[pts] >= b[:, 0]) & (lat[pts] <= b[:, 1]) & (lon[pts] >= b[:, 2]) & (lon[pts] <= b[:, 3])
+        return list(zip(pts[hit].tolist(), poly[hit].tolist()))
+
+    def contains_batch(self, lat: np.ndarray, lon: np.ndarray) -> list[tuple[int, str]]:
+        """(point_index, polygon_id) exact containment pairs: R-tree
+        candidates, then the ray-cast refine grouped per polygon (same
+        refine as BBoxGridIndex — identical output by construction)."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        cand = self.query_batch(lat, lon)
+        if not cand:
+            return []
+        ci = np.fromiter((i for i, _ in cand), dtype=np.int64, count=len(cand))
+        cp = np.fromiter((p for _, p in cand), dtype=np.int64, count=len(cand))
+        out: list[tuple[int, str]] = []
+        for pi in np.unique(cp):
+            idx = ci[cp == pi]
+            hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])
+            for t in idx[hit]:
+                out.append((int(t), self.ids[pi]))
+        return out
+
+
 def polygon_covering_cells(ring: np.ndarray, level: int) -> np.ndarray:
     """S2 cells (at ``level``) overlapping a polygon's bbox: sample the
     bbox densely relative to the min cell width, map samples to cells, pad

@@ -64,6 +64,69 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs -> canonical groups: (doc_id, group_id) where
+    group_id = MIN doc id in the pair graph's connected component. The
+    step every pairwise dedup family (minhash/simhash/embedding/phash)
+    needs before it can *act*: keep group_id, drop the rest.
+
+    Distributed min-label propagation: labels start as self; each round
+    every node takes the min of its label and its neighbors' labels (one
+    equi-join on the symmetric edge list + one map-side-combinable min
+    groupBy), until a round changes nothing. Rounds = graph diameter —
+    LSH dup clusters are near-stars (diameter ~2-4), so this terminates
+    in a handful of rounds; ``max_iters`` is the runaway guard (raise it
+    for adversarial chain graphs). Each round ``localCheckpoint``s to
+    truncate lineage, so the plan stays O(1) deep; the convergence probe
+    is one anti-equality count on the (node-partitioned) label frames.
+
+    Scale: state is (node, label) pairs — two strings — and the edge
+    list; both shuffle-partition by node id. No component is ever
+    materialized on one task (unlike groupBy-collect_list approaches),
+    so a 10^9-member component costs the same per round as 10^9
+    singletons. Isolated docs (no dup pair) are absent from the output
+    by design — left-join and coalesce(group_id, doc_id) to annotate a
+    corpus."""
+    a, b = F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("lab")
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_id"))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """word n-gram shingle array (distinct) from a text column — native:
     slide over the token array with transform+slice. NOTE: building the

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from fairy_core_spark.functions.geometry import BBoxGridIndex, haversine_m
+from fairy_core_spark.functions.geometry import BBoxGridIndex, STRtree, haversine_m
 from fairy_core_spark.spatial import s2
 
 TILE_LEVEL = 12  # H3 res-7 equivalent (avg cell area ~5.1 km^2)
@@ -61,15 +61,33 @@ def _rings_dict(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     return out
 
 
+_INDEX_CLS = {"grid": BBoxGridIndex, "rtree": STRtree}
+
+
+def _make_index(polygons_pdf: pd.DataFrame, index: str):
+    try:
+        cls = _INDEX_CLS[index]
+    except KeyError:
+        raise ValueError(f"unknown polygon index {index!r}; one of {sorted(_INDEX_CLS)}")
+    return cls(_rings_dict(polygons_pdf))
+
+
 def spatial_join_broadcast(
     points: DataFrame,
     polygons_pdf: pd.DataFrame,
     id_col: str = "image_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    index: str = "grid",
 ) -> DataFrame:
-    """(point_id, polygon_id) containment pairs; zero-shuffle broadcast plan."""
-    index = BBoxGridIndex(_rings_dict(polygons_pdf))
+    """(point_id, polygon_id) containment pairs; zero-shuffle broadcast plan.
+
+    ``index`` picks the broadcast polygon structure: ``"grid"`` (uniform
+    bbox grid — best for the small/uniform fixture sets) or ``"rtree"``
+    (STR-packed R-tree — balanced under clustered polygon sets; the north
+    rule's named structure). Both refine with the identical ray cast, so
+    the output pair set is the same (tested)."""
+    index = _make_index(polygons_pdf, index)
     schema = f"{id_col} string, polygon_id string"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,6 +113,7 @@ def spatial_annotate_broadcast(
     lat_col: str = "lat",
     lon_col: str = "lon",
     out: str = "polygon_ids",
+    index: str = "grid",
 ) -> DataFrame:
     """Broadcast PIP as a row-preserving annotation: every input row kept
     exactly once, with a ``polygon_ids: array<string>`` column of the
@@ -103,8 +122,11 @@ def spatial_annotate_broadcast(
     the pair set — tested equal), but it carries the full row through so
     validate -> encode -> PIP -> tile composes into ONE linear plan with
     no persist/double-scan and no row multiplication (the pipeline hot
-    path: downstream rollups stay plain count/avg aggregates)."""
-    index = BBoxGridIndex(_rings_dict(polygons_pdf))
+    path: downstream rollups stay plain count/avg aggregates).
+
+    ``index``: broadcast structure, ``"grid"`` or ``"rtree"`` (see
+    :func:`spatial_join_broadcast`)."""
+    index = _make_index(polygons_pdf, index)
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{in_schema}, {out} array<string>"
 

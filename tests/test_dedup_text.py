@@ -216,3 +216,34 @@ def test_shingles_strings_contract(spark):
     assert got[2] == [] and got[3] == []
     nh = {r["i"]: r["n"] for r in df.select("i", F.size(shingle_hashes(F.col("t"))).alias("n")).collect()}
     assert nh == {1: 4, 2: 0, 3: 0}
+
+
+def test_connected_components_shapes(spark):
+    """Chain (forces multi-round propagation), star, two components,
+    singleton pair — group_id is always the component minimum."""
+    pairs = spark.createDataFrame(
+        [
+            # chain a-b-c-d-e (diameter 4: needs >1 propagation round)
+            ("b", "c"), ("a", "b"), ("d", "e"), ("c", "d"),
+            # star centered at m
+            ("m", "x"), ("m", "y"), ("m", "z"),
+            # isolated pair
+            ("p", "q"),
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["doc_id"], r["group_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = (
+        {(n, "a") for n in "abcde"}
+        | {(n, "m") for n in "mxyz"}
+        | {(n, "p") for n in "pq"}
+    )
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert dedup.connected_components(pairs).count() == 0
