@@ -1,0 +1,55 @@
+"""Deterministic hash sampling: stability across runs/partitionings,
+stratified proportions, and weight validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.operators.sampling import hash_split, stratified_hash_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("curated").alias("source"),
+    )
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, docs):
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # rand()-based splits fail this; hash splits must not
+    frac = sum(1 for _, s in a if s == "test") / len(a)
+    assert 0.06 < frac < 0.14  # 10% target, binomial tolerance
+
+
+def test_hash_split_weights_must_sum(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 100, "test": 100})
+
+
+def test_hash_split_salt_changes_assignment(spark, docs):
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", salt="v2").collect()
+    }
+    assert a != b and {x for x, _ in a} == {x for x, _ in b}
+
+
+def test_stratified_proportions(spark, docs):
+    got = stratified_hash_sample(
+        docs, "doc_id", "source", {"web": 1.0, "curated": 0.2}
+    )
+    by = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["web"] == 1000  # fraction 1.0 keeps every row
+    assert 120 < by.get("curated", 0) < 280  # 20% of 1000
+
+    # stratum not in the map and default=0 -> dropped entirely
+    none_kept = stratified_hash_sample(docs, "doc_id", "source", {"web": 0.5})
+    assert none_kept.where(F.col("source") == "curated").count() == 0
