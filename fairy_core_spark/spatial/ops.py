@@ -502,3 +502,76 @@ def polygons_to_cells(polygons_pdf: pd.DataFrame, level: int = TILE_LEVEL) -> pd
         for c in cells[keep]:
             rows.append((r["polygon_id"], int(c)))
     return pd.DataFrame(rows, columns=["polygon_id", "cell"])
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    bin_deg: float = 5.0,
+) -> DataFrame:
+    """Spatial overlay join: (left_id, right_id) pairs whose lat/lon
+    bounding boxes overlap (edge-touching counts — closed intervals,
+    matching the SQL ``l.lat0 <= r.lat1 AND r.lat0 <= l.lat1 AND ...``
+    theta join the driver oracle runs). Both inputs carry
+    (id, lat0, lat1, lon0, lon1). North-rule op — no reference impl;
+    the 2-D sibling of operators/joins.py:interval_join_binned.
+
+    Plan (the 100 TB story): each bbox explodes to the coarse grid cells
+    it covers (two native ``sequence``/``explode``s — no Python), the
+    sides meet in a plain equi-join on the cell, and the exact overlap
+    test refines. **No dedup shuffle is ever needed**: an overlapping
+    pair would match in every shared cell, so the join emits only from
+    the unique cell that contains the intersection rectangle's min
+    corner (``floor(greatest(lat0s)/s), floor(greatest(lon0s)/s)``) —
+    the classic duplicate-avoidance trick for grid spatial joins. One
+    shuffle total, AQE-skew-splittable on hot cells; ``bin_deg`` trades
+    replication (big boxes cover more cells) against join selectivity.
+    """
+
+    def expand(df: DataFrame, pid: str, side: str) -> DataFrame:
+        s = F.lit(float(bin_deg))
+        return (
+            df.select(
+                F.col(pid),
+                F.col("lat0").alias(f"{side}_lat0"),
+                F.col("lat1").alias(f"{side}_lat1"),
+                F.col("lon0").alias(f"{side}_lon0"),
+                F.col("lon1").alias(f"{side}_lon1"),
+            )
+            .withColumn(
+                "ci",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{side}_lat0") / s),
+                        F.floor(F.col(f"{side}_lat1") / s),
+                    )
+                ),
+            )
+            .withColumn(
+                "cj",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{side}_lon0") / s),
+                        F.floor(F.col(f"{side}_lon1") / s),
+                    )
+                ),
+            )
+        )
+    l = expand(left, left_id, "l")
+    r = expand(right, right_id, "r")
+    s = F.lit(float(bin_deg))
+    overlap = (
+        (F.col("l_lat0") <= F.col("r_lat1")) & (F.col("r_lat0") <= F.col("l_lat1"))
+        & (F.col("l_lon0") <= F.col("r_lon1")) & (F.col("r_lon0") <= F.col("l_lon1"))
+    )
+    emit_here = (
+        (F.col("ci") == F.floor(F.greatest(F.col("l_lat0"), F.col("r_lat0")) / s))
+        & (F.col("cj") == F.floor(F.greatest(F.col("l_lon0"), F.col("r_lon0")) / s))
+    )
+    return (
+        l.join(r, ["ci", "cj"])
+        .where(overlap & emit_here)
+        .select(left_id, right_id)
+    )
