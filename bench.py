@@ -88,14 +88,22 @@ def main() -> int:
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "300000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
-    # The JSON result line must be the LAST thing on stdout even if the
-    # caller merges stderr into stdout (round-2's artifact was erased by
-    # pyspark daemon BrokenPipeError shutdown noise). Route fd 1 to stderr
-    # for the whole Spark lifetime - the JVM and Python worker daemons
-    # inherit it, so nothing they print can ever reach the real stdout -
-    # then restore fd 1 only for the final result line.
+    # The JSON result line must be the LAST thing the caller sees even if
+    # it merges stderr into stdout (round-2's artifact was erased, and
+    # round-3's tail was trailed, by pyspark daemon BrokenPipeError
+    # shutdown noise). Route BOTH fd 1 and fd 2 to a log file for the whole
+    # Spark lifetime — the JVM and Python worker daemons inherit the
+    # redirected fds, so nothing they ever print (including post-exit
+    # shutdown spew) can reach the real stdout/stderr — then restore the
+    # real stdout only for the final result line and _exit immediately.
     real_stdout = os.dup(1)
-    os.dup2(2, 1)
+    log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    log_fd = os.open(
+        os.path.join(log_dir, "bench_run.log"), os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644
+    )
+    os.dup2(log_fd, 1)
+    os.dup2(log_fd, 2)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fairy_core_spark.queries import queries as load_queries
@@ -148,15 +156,16 @@ def main() -> int:
         print(f"bench: could not write BENCH/last.json: {exc}", file=sys.stderr)
 
     # Tear Spark down and let worker daemons finish dying BEFORE the result
-    # line, so their BrokenPipeError spew cannot land after it.
+    # line (their spew lands in the log file either way).
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
     time.sleep(3)
 
-    os.dup2(real_stdout, 1)  # restore the real stdout for the one line
-    os.write(1, (line + "\n").encode())
-    return 0
+    os.write(real_stdout, (line + "\n").encode())  # the one real-stdout line
+    # _exit: skip interpreter/atexit teardown entirely — no late daemon
+    # traceback or GC noise can ever follow the result line.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from fairy_core_spark.functions.image_codec import encode_image
+from fairy_core_spark.functions.image_codec import LOSSY_FMTS, encode_image
 from fairy_core_spark.functions.phash import phash64
 
 IMAGE_SCHEMA = (
@@ -128,6 +128,72 @@ def synth_image_row(i: int, dirty: str | None = None) -> dict:
     return row
 
 
+def synth_image_rows_batch(ids: list[int], dirty_every: int | None = None) -> pd.DataFrame:
+    """Vectorized :func:`synth_image_row` over a batch of row ids —
+    bit-identical output (asserted by tests/test_images.py), ~5x faster:
+    pixels come from :func:`make_pixels_stack` per (w, h) group and phash
+    from :func:`phash64_stack`, so the per-image Python work is just the
+    codec encode call.
+
+    The decode step of the scalar path is skipped *provably*: ppm/png are
+    lossless (decode(encode(p)) == p exactly) and qnt's decode is the
+    closed-form (p >> 2) * 4 + 2, applied here directly before hashing."""
+    from collections import defaultdict
+
+    from fairy_core_spark.functions.phash import phash64_stack
+
+    recs = []
+    for i in ids:
+        i = int(i)
+        src_i = i - 1 if (i % 1000 == 999 and i > 0) else i
+        w = _SIZES[src_i % len(_SIZES)]
+        h = _SIZES[(src_i // 3) % len(_SIZES)]
+        fmt = _FMTS[src_i % len(_FMTS)]
+        recs.append((i, src_i, w, h, fmt))
+    rows: dict[int, dict] = {}
+    groups: defaultdict[tuple[int, int], list] = defaultdict(list)
+    for r in recs:
+        groups[(r[2], r[3])].append(r)
+    for (w, h), rs in groups.items():
+        stack = make_pixels_stack([f"img{r[1]:010d}" for r in rs], w, h)
+        fmts = [r[4] for r in rs]
+        ph = np.zeros(len(rs), dtype=np.int64)
+        lossless = [k for k, f in enumerate(fmts) if f not in LOSSY_FMTS]
+        lossy = [k for k, f in enumerate(fmts) if f in LOSSY_FMTS]
+        if lossless:
+            ph[lossless] = phash64_stack(stack[lossless])
+        if lossy:  # qnt: hash the stored (quantized) pixels, closed form
+            q = ((stack[lossy] >> 2).astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+            ph[lossy] = phash64_stack(q)
+        for k, (i, src_i, w_, h_, fmt) in enumerate(rs):
+            image_id = f"img{i:010d}"
+            data = encode_image(stack[k], fmt)
+            toks = [_TOKENS[(src_i >> (3 * kk)) % len(_TOKENS)] for kk in range(3)]
+            row = {
+                "image_id": image_id,
+                "bytes": bytearray(data),
+                "w": w_,
+                "h": h_,
+                "fmt": fmt,
+                "caption": f"caption for {image_id}: " + " ".join(toks),
+                "phash": int(ph[k]),
+            }
+            if dirty_every and i % dirty_every == dirty_every - 1:
+                dirty = ("null_caption", "dim_mismatch", "truncated", "bad_fmt")[
+                    (i // dirty_every) % 4
+                ]
+                if dirty == "null_caption":
+                    row["caption"] = None
+                elif dirty == "dim_mismatch":
+                    row["w"] = w_ + 1
+                elif dirty == "truncated":
+                    row["bytes"] = bytearray(data[: len(data) // 2])
+                elif dirty == "bad_fmt":
+                    row["fmt"] = "jpeg"
+            rows[i] = row
+    return pd.DataFrame([rows[int(i)] for i in ids])
+
+
 def geo_for(image_id: str) -> tuple[float, float]:
     """Deterministic lat/lon; 10% of ids remapped into hotspot clusters."""
     u1, u2, u3, u4 = _unit_floats(image_id)
@@ -146,15 +212,9 @@ def images_df(
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for i in pdf["id"].tolist():
-                dirty = None
-                if dirty_every and i % dirty_every == dirty_every - 1:
-                    dirty = ("null_caption", "dim_mismatch", "truncated", "bad_fmt")[
-                        (i // dirty_every) % 4
-                    ]
-                rows.append(synth_image_row(int(i), dirty))
-            yield pd.DataFrame(rows)
+            ids = pdf["id"].tolist()
+            if ids:
+                yield synth_image_rows_batch(ids, dirty_every)
 
     return base.mapInPandas(gen, schema=IMAGE_SCHEMA)
 

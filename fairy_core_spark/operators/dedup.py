@@ -69,6 +69,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """Near-dup pairs -> canonical groups: (doc_id, group_id) where
     group_id = MIN doc id in the pair graph's connected component. The
@@ -82,8 +83,17 @@ def connected_components(
     LSH dup clusters are near-stars (diameter ~2-4), so this terminates
     in a handful of rounds; ``max_iters`` is the runaway guard (raise it
     for adversarial chain graphs). Each round ``localCheckpoint``s to
-    truncate lineage, so the plan stays O(1) deep; the convergence probe
-    is one anti-equality count on the (node-partitioned) label frames.
+    truncate lineage, so the plan stays O(1) deep. The convergence probe
+    is folded into the propagation round: each node's previous label rides
+    along in the same min-groupBy (tagged rows), so detecting "nothing
+    changed" is a near-free scan of the just-materialized checkpoint —
+    no second join per round.
+
+    If the loop exhausts ``max_iters`` with labels still moving, the
+    partial labels are NOT silently returned as final:
+    ``on_nonconverged="warn"`` (default) emits a ``RuntimeWarning`` and
+    logs it; ``"raise"`` raises ``RuntimeError`` — pick raise in pipelines
+    where a truncated propagation would corrupt a dedup keep-list.
 
     Scale: state is (node, label) pairs — two strings — and the edge
     list; both shuffle-partition by node id. No component is ever
@@ -92,6 +102,8 @@ def connected_components(
     singletons. Isolated docs (no dup pair) are absent from the output
     by design — left-join and coalesce(group_id, doc_id) to annotate a
     corpus."""
+    if on_nonconverged not in ("warn", "raise"):
+        raise ValueError(f"on_nonconverged must be 'warn' or 'raise', got {on_nonconverged!r}")
     a, b = F.col(id_a).alias("a"), F.col(id_b).alias("b")
     edges = (
         pairs.select(a, b)
@@ -103,27 +115,41 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
+        # previous label rides along tagged is_self=true, so the same
+        # min-groupBy yields both the new label and the old one to compare
         prop = edges.join(labels, edges["b"] == labels["node"]).select(
-            F.col("a").alias("node"), F.col("lab")
+            F.col("a").alias("node"), F.col("lab"), F.lit(False).alias("is_self")
         )
+        selfrows = labels.select("node", "lab", F.lit(True).alias("is_self"))
         new = (
-            labels.union(prop)
+            selfrows.union(prop)
             .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("is_self"), F.col("lab"))).alias("prev_lab"),
+            )
+            .localCheckpoint()  # materializes the round (the only real job)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        # near-free probe: scans the checkpoint just written, no join
+        changed = new.where(F.col("lab") != F.col("prev_lab")).limit(1).count()
+        labels = new.select("node", "lab")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "returned group_ids are PARTIAL min-label propagation (component "
+            "diameter exceeds the round budget) — raise max_iters"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("group_id"))
 
 
@@ -350,6 +376,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.5,
     hash_tokens: bool = True,
+    prefilter: str = "prefix",
 ) -> DataFrame:
     """Blocked pairwise token-set Jaccard: pairs within the same block with
     jaccard >= threshold. Native arrays; the block key is the scale lever
@@ -361,23 +388,73 @@ def ngram_jaccard_pairs(
     while the join shuffle carries 8-byte ints instead of full token
     strings (~4-8x fewer bytes both sides — the round-2 scale-weak
     finding). ``hash_tokens=False`` keeps the raw-string sets (exact even
-    under adversarial collisions; measurably slower, see BENCH/STRESS.md)."""
+    under adversarial collisions; measurably slower, see BENCH/STRESS.md).
+
+    ``prefilter="prefix"`` (default) applies EXACT prefix filtering
+    (PPJoin family, Bayardo et al. WWW'07 / Xiao et al.): with tokens
+    under a global total order (the hash value / the string), any pair
+    with J >= t shares at least one token in each side's first
+    ``|s| - ceil(t*|s|) + 1`` tokens — because J >= t forces
+    ``|x∩y| >= ceil(t*|x|)``, which cannot fit entirely in the remaining
+    ``ceil(t*|x|) - 1`` suffix slots. Candidates come from an equi-join
+    on (block, prefix_token) instead of the O(block²) self-join; the
+    exact Jaccard verify then runs only on candidate pairs. Lossless by
+    the theorem — same result set as ``prefilter="none"`` (pinned by
+    tests and the unchanged DuckDB oracle), ~L/p² less verify work on
+    blocks of L docs sharing few tokens."""
     toks = F.array_distinct(tokens(F.col(text_col)))
     if hash_tokens:
         toks = F.array_distinct(F.transform(tokens(F.col(text_col)), _md5_60))
     base = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"), toks.alias("toks")
     )
-    a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out_cols = (
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+    if prefilter == "none":
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+            .select(*out_cols)
+            .where(F.col("jaccard") >= threshold)
+        )
+    if prefilter != "prefix":
+        raise ValueError(f"prefilter must be 'prefix' or 'none', got {prefilter!r}")
+    # prefix length |s| - ceil(t*|s|) + 1 under the sorted-token order;
+    # empty docs get an empty prefix (J(empty, y) = 0 < t for t > 0)
+    srt = F.array_sort(F.col("toks"))
+    plen = (F.size("toks") - F.ceil(F.lit(float(threshold)) * F.size("toks")) + 1).cast("int")
+    pref = base.select(
+        "id", "block", F.explode(F.slice(srt, 1, plen)).alias("ptok")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.block") == F.col("pb.block"))
+            & (F.col("pa.ptok") == F.col("pb.ptok"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(F.col("pa.id").alias("cid_a"), F.col("pb.id").alias("cid_b"))
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("cid_a"), F.col("toks").alias("toks_a"))
+    b = base.select(F.col("id").alias("cid_b"), F.col("toks").alias("toks_b"))
+    inter_c = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union_c = F.size("toks_a") + F.size("toks_b") - inter_c
+    jac_c = F.when(union_c > 0, inter_c / union_c).otherwise(F.lit(0.0))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        cand.join(a, "cid_a")
+        .join(b, "cid_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.col("cid_a").alias("id_a"),
+            F.col("cid_b").alias("id_b"),
+            F.round(jac_c, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -392,6 +469,7 @@ def embedding_cosine_dups(
     seed: int = 7,
     dim: int | None = None,
     n_tables: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold via OR-amplified
     random-hyperplane LSH.
@@ -404,13 +482,20 @@ def embedding_cosine_dups(
     tables) give ~0.99 expected recall for cosine-0.95 pairs (pinned by a
     planted-pair test in tests/test_dedup.py).
 
-    Plan shape: one projection computes all L buckets + the norm, explodes
-    to (id, table, bucket) — the self-join shuffles ONLY those small keys,
-    never the vectors; candidates are distinct'd, then vectors re-attach via
-    two equi-joins for a single cosine refine per surviving pair. Bucket
-    count 2^n_planes per table bounds the join fan-out; hot buckets are
-    AQE-splittable. At 10^12 rows the tunables are n_planes (precision /
-    bucket size) and n_tables (recall)."""
+    Plan shape: one projection computes all L buckets, explodes to
+    (id, table, bucket) — the self-join shuffles ONLY those small keys,
+    never the vectors; candidates are distinct'd, then vectors (and norms,
+    computed on the spot) re-attach via two equi-joins for a single cosine
+    refine per surviving pair. Bucket count 2^n_planes per table bounds the
+    join fan-out; hot buckets are AQE-splittable. At 10^12 rows the
+    tunables are n_planes (precision / bucket size) and n_tables (recall).
+
+    Only the exploded (id, table, bucket) key frame is persisted (for the
+    two sides of the self-join) — never the vectors, so the pinned memory
+    is 3 ints per (row, table), not the embedding matrix. The cache is
+    released by Spark's ContextCleaner once the returned plan is GC'd;
+    callers issuing many calls in one long session can pass
+    ``persist=False`` (the bucket projection then computes twice)."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = dim or (first["d"] if first else 0)
     rng = np.random.default_rng(seed)
@@ -434,22 +519,11 @@ def embedding_cosine_dups(
             bit = (dot_expr(F.col(vec_col), planes[t * n_planes + k]) > 0).cast("int")
             bucket = bit if bucket is None else bucket * 2 + bit
         buckets.append(bucket)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    banded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.array(*buckets)).alias("tbl", "bucket")
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm.alias("norm"),
-        F.array(*buckets).alias("buckets"),
-    ).persist()
-    banded = base.select(
-        "id", F.posexplode("buckets").alias("tbl", "bucket")
-    )
+    if persist:
+        banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -461,8 +535,16 @@ def embedding_cosine_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm.alias("norm"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
     dot = F.aggregate(
         F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -250,7 +250,17 @@ def write_report_v0(
         files = [InputFile(path=_posix_rel(data_file, project_dir), bytes=data_file.stat().st_size)]
 
     warnings_list = [_registry_warning_to_v0(w) for w in meta.get("warnings", [])]
-    warnings_list.sort(key=lambda w: (w.column or "", "" if w.index is None else str(w.index), w.check or ""))
+    # reference sorts by RAW index (report_writer.py:99: (column, index,
+    # check)) — numeric, not lexicographic ('10' < '2' would diverge for
+    # indices spanning digit counts); None-safe via -1 (reference rows
+    # always carry int indices, so the sentinel never reorders real data)
+    warnings_list.sort(
+        key=lambda w: (
+            w.column or "",
+            w.index if isinstance(w.index, int) else -1,
+            w.check or "",
+        )
+    )
     rulepacks_list = sorted(
         (RulepackRef(**rp) for rp in (rulepacks or [])), key=lambda r: (r.name, r.version)
     )

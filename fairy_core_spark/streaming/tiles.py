@@ -81,9 +81,11 @@ def foreach_batch_tile_writer(
 ):
     """Exact-variant sink: a ``foreachBatch`` function that runs the BATCH
     two-level exact dup rollup (spatial/ops.py ``tile_aggregates_annotated``
-    shape, minus PIP) over each micro-batch and appends
+    shape, minus PIP) over each micro-batch and writes
     (window_start, tile_id, n_images, n_phash_dups, batch_id) rows
-    partitioned by window_start.
+    partitioned by ``batch_id`` (dynamic overwrite of the batch's own
+    partition — that per-batch layout is what makes replays idempotent;
+    window_start is a plain column, not a partition key).
 
     Exactness model: per-micro-batch exact, merged by downstream readers
     summing over batch_id — the standard streaming→lakehouse pattern when

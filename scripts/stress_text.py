@@ -25,7 +25,7 @@ WORDS = [
 ]
 
 
-def synth_docs(spark, n: int, n_tokens: int = 60):
+def synth_docs(spark, n: int, n_tokens: int = 60, n_vocab: int | None = None):
     # ~15% of docs are near-duplicates of a neighbor (id-1) to give the
     # dedup families real work
     base = spark.range(n).select(
@@ -37,16 +37,22 @@ def synth_docs(spark, n: int, n_tokens: int = 60):
     # distinct texts (a plain linear formula repeats with period len(WORDS)
     # and collapses the corpus into ~20 giant duplicate groups, which blows
     # up any pairwise operator and benchmarks nothing real)
-    text = F.concat_ws(
-        " ",
-        *[
-            F.element_at(
-                F.array(*[F.lit(w) for w in WORDS]),
-                (F.pmod(F.xxhash64(F.col("seed"), F.lit(i)), F.lit(len(WORDS))) + 1).cast("int"),
-            )
-            for i in range(n_tokens)
-        ],
-    )
+    #
+    # n_vocab=None keeps the 20-word list (every doc-pair lands at Jaccard
+    # ~0.92 — a DENSE corpus where the pairwise output is ~all block pairs);
+    # n_vocab=K synthesizes w<idx> tokens over a K-word space — a REALISTIC
+    # corpus where unrelated docs share almost nothing and candidate
+    # pruning (prefix filtering) is the whole game.
+    if n_vocab is None:
+        word = lambda i: F.element_at(  # noqa: E731
+            F.array(*[F.lit(w) for w in WORDS]),
+            (F.pmod(F.xxhash64(F.col("seed"), F.lit(i)), F.lit(len(WORDS))) + 1).cast("int"),
+        )
+    else:
+        word = lambda i: F.concat(  # noqa: E731
+            F.lit("w"), F.pmod(F.xxhash64(F.col("seed"), F.lit(i)), F.lit(n_vocab))
+        )
+    text = F.concat_ws(" ", *[word(i) for i in range(n_tokens)])
     return base.select("doc_id", "source", text.alias("text"))
 
 
@@ -88,12 +94,32 @@ def main() -> int:
     run("simhash", lambda: simhash_df(docs, "text", "doc_id"))
     run("minhash_lsh", lambda: minhash_lsh_candidates(docs, "text", "doc_id"))
     # pairwise family needs a fine block key to bound the pair blow-up:
-    # ~100 docs/block -> ~5k pairs/block, realistic for a post-LSH refine
+    # ~100 docs/block -> ~5k pairs/block, realistic for a post-LSH refine.
+    # The 20-word corpus is DENSE (every pair is a true >=0.5 dup — the run
+    # measures emitting ~all block pairs, so candidate pruning can't help;
+    # prefilter='none' keeps it comparable with the r2/r3 numbers).
     fine = docs.withColumn("blk", F.pmod(F.col("doc_id"), F.lit(20011)))
-    run("ngram_jaccard (hashed tokens)",
-        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5))
-    run("ngram_jaccard (string tokens)",
-        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5, hash_tokens=False))
+    run("ngram_jaccard dense corpus (hashed tokens, no prefilter)",
+        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5, prefilter="none"))
+    run("ngram_jaccard dense corpus (string tokens)",
+        lambda: ngram_jaccard_pairs(fine, "text", "doc_id", "blk", 0.5,
+                                    hash_tokens=False, prefilter="none"))
+
+    # realistic corpus: 50k-word vocab -> unrelated docs share ~0 tokens,
+    # only the planted neighbor dups are true pairs. This is where the
+    # exact PPJoin-style prefix filter earns its keep vs the naive
+    # O(block^2) verify. Coarser blocks (~1000 docs) stress the quadratic.
+    wide = (
+        synth_docs(spark, n, n_vocab=50_000)
+        .withColumn("blk", F.pmod(F.col("doc_id"), F.lit(2003)))
+        .repartition(64)
+        .cache()
+    )
+    wide.count()
+    run("ngram_jaccard realistic corpus (prefix filter)",
+        lambda: ngram_jaccard_pairs(wide, "text", "doc_id", "blk", 0.5))
+    run("ngram_jaccard realistic corpus (naive block join)",
+        lambda: ngram_jaccard_pairs(wide, "text", "doc_id", "blk", 0.5, prefilter="none"))
 
     print(json.dumps({"n_docs": n, "results": results}, sort_keys=True))
     return 0

@@ -118,3 +118,23 @@ def test_custom_reference_shape_mismatch_is_per_row(spark):
             assert not ok, f"{iid}: wrong-shape reference must fail psnr"
         else:
             assert ok, f"{iid}: clean/None reference must pass"
+
+
+def test_batch_synth_bit_identical_to_scalar():
+    """synth_image_rows_batch (the mapInPandas fast path) must reproduce
+    synth_image_row byte-for-byte — the frozen IMAGE_PHASH_3000 golden and
+    the hand-derived image_validate oracle both depend on it. Covers the
+    dup boundary (i=999 copies 998's pixels) and all four dirty variants."""
+    from fairy_core_spark.datagen.images import synth_image_rows_batch
+
+    ids = list(range(0, 40)) + list(range(995, 1005)) + list(range(2990, 3000))
+    batch = synth_image_rows_batch(ids, dirty_every=50)
+    for k, i in enumerate(ids):
+        dirty = None
+        if i % 50 == 49:
+            dirty = ("null_caption", "dim_mismatch", "truncated", "bad_fmt")[(i // 50) % 4]
+        ref = synth_image_row(i, dirty)
+        got = batch.iloc[k].to_dict()
+        for col in ("image_id", "w", "h", "fmt", "caption", "phash"):
+            assert got[col] == ref[col], (i, col)
+        assert bytes(got["bytes"]) == bytes(ref["bytes"]), (i, "bytes")
