@@ -124,3 +124,125 @@ def test_foreach_batch_exact_writer(spark, tmp_path):
         .collect()
     }
     assert merged == exp
+
+
+def _write_rows(spark, path, rows):
+    spark.createDataFrame(
+        rows, "id long, lat double, lon double, w int, h int, phash long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(path))
+
+
+def _mk_row(i, hour, phash):
+    import datetime
+
+    ts = datetime.datetime(2023, 11, 14, hour, i % 60, 0)
+    return (i, 40.0 + (i % 5) * 0.5, -74.0 + (i % 3) * 0.5, 64, 48, phash, ts)
+
+
+def test_tile_rollup_restart_recovers_window_state(spark, tmp_path):
+    """Kill/resume semantics of the streaming rollup: stop after phase A
+    (availableNow drains, query stops — same recovery path as a crash,
+    the checkpoint holds the un-closed windows' aggregation state), then
+    restart from the SAME checkpointLocation over new files. Windows that
+    straddle the restart must close with counts from BOTH phases (state
+    was recovered, no loss), and no (window, tile) row may appear twice
+    (closed windows are not re-emitted — no dup)."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    # phase A: hours 0 and 1; watermark 0s -> only hour 0 closes in phase A
+    a_rows = [_mk_row(i, 0, 100 + i) for i in range(10)] + [
+        _mk_row(100 + i, 1, 200 + i) for i in range(7)
+    ]
+    _write_rows(spark, src, a_rows)
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+        rollup = streaming_tile_rollup(stream, level=LEVEL, window="1 hour", watermark="0 seconds")
+        q = (
+            rollup.selectExpr("window.start AS ws", "tile_id", "n_images")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # phase A, then the query stops (restartable checkpoint)
+
+    # phase B: MORE hour-1 rows (same open window — counted only if state
+    # recovered) plus hour 2/3 rows that advance the watermark past hour 1
+    b_rows = [_mk_row(200 + i, 1, 300 + i) for i in range(5)] + [
+        _mk_row(300 + i, 2, 400 + i) for i in range(4)
+    ] + [_mk_row(400 + i, 3, 500 + i) for i in range(3)]
+    _write_rows(spark, src, b_rows)
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(str(out)).collect()
+    seen = [(r["ws"], r["tile_id"]) for r in got]
+    assert len(seen) == len(set(seen)), "a closed (window, tile) was emitted twice"
+
+    # batch replay over everything; closed windows = hours 0..2
+    batch = spark.read.parquet(str(src))
+    tiled = with_cell(batch, "lat", "lon", LEVEL, out="tile_id")
+    exp = {
+        (r["ws"], r["tile_id"]): r["n"]
+        for r in tiled.withColumn("ws", F.window("ts", "1 hour").getField("start"))
+        .groupBy("ws", "tile_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["ws"].hour < 3
+    }
+    got_map = {(r["ws"], r["tile_id"]): r["n_images"] for r in got}
+    assert got_map == exp, "restarted rollup lost or duplicated rows"
+    # the straddling hour-1 windows specifically must mix A and B counts
+    assert sum(v for (ws, _t), v in got_map.items() if ws.hour == 1) == 12
+
+
+def test_streaming_dedup_restart_suppresses_cross_restart_dups(spark, tmp_path):
+    """Exact-dedup state survives a stop/restart: keys first seen in phase
+    A and re-arriving in phase B (after the restart) are suppressed by the
+    RECOVERED state store; new keys pass. The landed table holds every key
+    exactly once — no dup, no loss."""
+    from fairy_core_spark.streaming.dedup import streaming_dedup_keys
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    a_rows = [_mk_row(k, 0, k) for k in range(10)] + [_mk_row(k, 0, k) for k in range(10)]
+    _write_rows(spark, src, a_rows)
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+        deduped = streaming_dedup_keys(stream, ["phash"], ts_col="ts", watermark="6 hours")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # phase B: keys 5..9 are cross-restart duplicates, 10..14 are new
+    _write_rows(spark, src, [_mk_row(100 + k, 1, k) for k in range(5, 15)])
+    run_once()
+
+    keys = sorted(r["phash"] for r in spark.read.parquet(str(out)).collect())
+    assert keys == list(range(15)), f"expected each key exactly once, got {keys}"
+
+
+def test_foreach_batch_writer_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay semantics of the exact writer: foreachBatch may
+    re-deliver a batch_id after a failure before the commit; the dynamic
+    overwrite of that batch's own partition must make the replay a no-op."""
+    out = tmp_path / "tiles_out"
+    batch = _source_df(spark)
+    writer = foreach_batch_tile_writer(str(out), level=LEVEL, window="1 hour")
+    writer(batch, 7)
+    once = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    writer(batch, 7)  # replay of the same micro-batch
+    twice = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert once == twice
