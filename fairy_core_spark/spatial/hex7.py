@@ -1,0 +1,274 @@
+"""Aperture-7 icosahedral HEXAGONAL hierarchical index ("hex7") —
+the H3-class sibling of the S2 quadtree (`spatial/s2.py`) and the
+Z-order/geohash scheme (`spatial/zorder.py`). Pure vectorized numpy,
+batched through Arrow pandas_udfs, no native library (SURVEY.md §2.6
+names "H3/S2"; the north rule allows either).
+
+The ALGORITHM is the published H3-v4 pipeline (h3geo.org docs; Sahr,
+"Geodesic discrete global grid systems", 2003): unit-sphere point ->
+nearest icosahedron face -> gnomonic projection onto the face plane ->
+hex-lattice coordinates at the target resolution -> hierarchical
+aperture-7 digit extraction. Two deliberate, documented deltas from
+the H3 *numbering*:
+
+1. **Base-cell table**: H3's published cell NUMBERS depend on its
+   122-entry base-cell data table (`baseCells.c`) — a data artifact,
+   not an algorithm. Neither the table nor an `h3` library ships in
+   this sandbox, so published-vector index parity is not honestly
+   reproducible here; hex7 instead numbers cells structurally as
+   (face, res-0 axial coords, aperture-7 digits). S2 and geohash carry
+   the published-test-vector gates for this engine
+   (tests/test_s2.py, tests/test_zorder.py).
+2. **Face partition**: points are assigned to the face whose center is
+   nearest (max dot product, deterministic smallest-index tie-break).
+   Cells along face edges are therefore clipped by the face boundary
+   instead of H3's cross-face base-cell stitching — every point still
+   maps to exactly one cell, which is all binning / equi-join tiling
+   needs.
+
+Aperture-7 math (the published lattice construction): in axial hex
+coordinates (basis vectors equal length, 60° apart — complex basis
+{1, e^(i*pi/3)}), multiplication by w = 2 + i*sqrt(3) (|w|^2 = 7) is
+the aperture-7 similarity: rotation by atan(sqrt(3)/2) ~ 40.9°...
+equivalently the published ~19.107° Class-III skew after the 60°
+lattice symmetry, plus sqrt(7) scale. Its integer matrix in the axial
+basis is B = [[1, -2], [2, 3]] (det 7 — each parent hex owns exactly 7
+children arranged center + 6 neighbors). Digits are the 7 cosets of
+Z^2 / B·Z^2 represented by the center+6-neighbor set; extraction runs
+top-down: parent ~ rint(B^-1 · h), then an exact residue-correction
+table (built by brute force at import, the robust equivalent of H3's
+`_upAp7` rounding) lands the remainder in the 7-coset set.
+
+Index layout (int64, non-negative): bits [59:63)=res, [54:59)=face,
+[48:54)=i0+32, [42:48)=j0+32, then 14 digit fields of 3 bits each
+(digit k at bits [39-3k : 42-3k)). Prefix property: parent id = child
+id with the trailing digits zeroed and res rewritten —
+`cell_to_parent` is pure bit math, and all ids at one res sort
+children of one parent contiguously (locality for range pruning,
+like S2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 14  # 14 x 3 digit bits fill the 42 bits below the j0 field
+
+# --- icosahedron from first principles (golden-ratio vertices) ----------
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+_VERTS = []
+for a in (-1.0, 1.0):
+    for b in (-_PHI, _PHI):
+        _VERTS.append((0.0, a, b))
+        _VERTS.append((a, b, 0.0))
+        _VERTS.append((b, 0.0, a))
+_VERTS = np.array(_VERTS)
+_VERTS /= np.linalg.norm(_VERTS, axis=1, keepdims=True)
+
+
+def _icosa_faces() -> np.ndarray:
+    """20 faces as vertex index triples: the 20 triangles of the convex
+    hull = triples of mutually-adjacent vertices (pairwise dot == 1/sqrt5,
+    the icosahedron's neighbor cosine)."""
+    n = len(_VERTS)
+    adj = _VERTS @ _VERTS.T > 0.44  # neighbor cosine 1/sqrt(5) ~ 0.447
+    faces = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not adj[i, j]:
+                continue
+            for k in range(j + 1, n):
+                if adj[i, k] and adj[j, k]:
+                    faces.append((i, j, k))
+    assert len(faces) == 20, len(faces)
+    return np.array(sorted(faces))
+
+
+_FACES = _icosa_faces()
+_CENTERS = _VERTS[_FACES].mean(axis=1)
+_CENTERS /= np.linalg.norm(_CENTERS, axis=1, keepdims=True)
+# face-local tangent basis: ex toward the face's first vertex, ey = n x ex
+_EX = _VERTS[_FACES[:, 0]] - _CENTERS * (_VERTS[_FACES[:, 0]] * _CENTERS).sum(1, keepdims=True)
+_EX /= np.linalg.norm(_EX, axis=1, keepdims=True)
+_EY = np.cross(_CENTERS, _EX)
+
+# res-0 hex edge in gnomonic plane units: ~face circumradius so a face is
+# covered by O(1) res-0 cells (|i0|,|j0| <= 31 fits the 6-bit fields)
+_S0 = 0.5
+# axial basis at res 0 (pointy-top hex lattice)
+_A0 = np.array([[_S0 * 1.5, _S0 * np.sqrt(3.0) / 2.0], [0.0, _S0 * np.sqrt(3.0)]]).T
+_A0_INV = np.linalg.inv(_A0)
+# aperture-7 similarity matrix (det 7): parent lattice = B . child lattice;
+# B is multiplication by w = 2 + i*sqrt(3) in the axial complex basis, so
+# children sit center + 6 neighbors around the parent (true hex nesting)
+_B = np.array([[1.0, -2.0], [2.0, 3.0]])
+_B_INV = np.linalg.inv(_B)  # = 1/7 [[3, 2], [-2, 1]]
+# residues of Z^2 / B Z^2: center + 6 axial unit neighbors -> digit 0..6
+_DIGIT_OF = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (-1, 1): 3, (-1, 0): 4, (0, -1): 5, (1, -1): 6}
+_IJ_OF_DIGIT = np.zeros((7, 2), dtype=np.int64)
+for _ij, _d in _DIGIT_OF.items():
+    _IJ_OF_DIGIT[_d] = _ij
+
+
+def _build_residue_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """For every remainder r = h - B·rint(B^-1 h) (|r|_inf <= 3 by the
+    rounding bound; table sized ±8 for safety): the unique (delta, digit)
+    with r - B·delta in the 7-coset representative set. Also asserts the
+    representative set IS a complete residue system of Z^2 / B·Z^2."""
+    rng_ = 8
+    size = 2 * rng_ + 1
+    d_i = np.zeros((size, size), dtype=np.int64)
+    d_j = np.zeros((size, size), dtype=np.int64)
+    dig = np.full((size, size), -1, dtype=np.int64)
+    for ri in range(-rng_, rng_ + 1):
+        for rj in range(-rng_, rng_ + 1):
+            hits = []
+            for di in range(-7, 8):
+                for dj in range(-7, 8):
+                    rem = (ri - (di - 2 * dj), rj - (2 * di + 3 * dj))
+                    if rem in _DIGIT_OF:
+                        hits.append((di, dj, _DIGIT_OF[rem]))
+            assert len(hits) == 1, f"residue set not a coset system at {(ri, rj)}: {hits}"
+            d_i[ri + rng_, rj + rng_] = hits[0][0]
+            d_j[ri + rng_, rj + rng_] = hits[0][1]
+            dig[ri + rng_, rj + rng_] = hits[0][2]
+    return d_i, d_j, dig, rng_
+
+
+_CORR_DI, _CORR_DJ, _CORR_DIGIT, _CORR_RANGE = _build_residue_tables()
+
+
+def _ll_to_xyz(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    la, lo = np.radians(lat), np.radians(lon)
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
+
+
+def _xyz_to_ll(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = np.degrees(np.arcsin(np.clip(p[..., 2], -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(p[..., 1], p[..., 0]))
+    return lat, lon
+
+
+def _hexround(fi: np.ndarray, fj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest hex-lattice point via published cube rounding (axial ->
+    cube -> round -> fix the largest-error axis -> axial)."""
+    x, z = fi, fj
+    y = -x - z
+    rx, ry, rz = np.rint(x), np.rint(y), np.rint(z)
+    dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def _nearest_face(p: np.ndarray) -> np.ndarray:
+    return np.argmax(p @ _CENTERS.T, axis=-1)
+
+
+def _gnomonic(p: np.ndarray, face: np.ndarray) -> np.ndarray:
+    c, ex, ey = _CENTERS[face], _EX[face], _EY[face]
+    q = p / np.maximum((p * c).sum(-1, keepdims=True), 1e-12) - c
+    return np.stack([(q * ex).sum(-1), (q * ey).sum(-1)], axis=-1)
+
+
+def _inv_gnomonic(xy: np.ndarray, face: np.ndarray) -> np.ndarray:
+    c, ex, ey = _CENTERS[face], _EX[face], _EY[face]
+    p = c + xy[..., :1] * ex + xy[..., 1:2] * ey
+    return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+
+def _matpow(m: np.ndarray, k: int) -> np.ndarray:
+    out = np.eye(2)
+    for _ in range(k):
+        out = out @ m
+    return out
+
+
+_BPOW = [_matpow(_B, k) for k in range(MAX_RES + 1)]
+_BINVPOW = [_matpow(_B_INV, k) for k in range(MAX_RES + 1)]
+
+
+def cell_id(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """(lat°, lon°) arrays -> hex7 int64 cell ids at resolution res."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    p = _ll_to_xyz(lat, lon)
+    face = _nearest_face(p)
+    xy = _gnomonic(p, face)
+    # fractional axial coords at res: B^res . A0^-1 . xy
+    fij = xy @ (_BPOW[res] @ _A0_INV).T
+    i, j = _hexround(fij[..., 0], fij[..., 1])
+    # top-down digit extraction: res r -> r-1 via parent ~ rint(B^-1 h),
+    # then the residue-correction table lands the remainder in the 7-coset
+    # representative set (exact integer arithmetic throughout)
+    digits = np.zeros((len(lat), MAX_RES), dtype=np.int64)
+    ci, cj = i, j
+    for r in range(res, 0, -1):
+        pi = np.rint((3 * ci + 2 * cj) / 7.0).astype(np.int64)
+        pj = np.rint((cj - 2 * ci) / 7.0).astype(np.int64)
+        ri = ci - (pi - 2 * pj)  # h - B . parent
+        rj = cj - (2 * pi + 3 * pj)
+        pi = pi + _CORR_DI[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        pj = pj + _CORR_DJ[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        digits[:, r - 1] = _CORR_DIGIT[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        ci, cj = pi, pj
+    i0, j0 = np.clip(ci, -32, 31), np.clip(cj, -32, 31)
+    out = (np.int64(res) << np.int64(59)) | (face.astype(np.int64) << np.int64(54))
+    out = out | ((i0 + 32) << np.int64(48)) | ((j0 + 32) << np.int64(42))
+    for k in range(res):
+        out = out | (digits[:, k] << np.int64(39 - 3 * k))
+    return out
+
+
+def cell_res(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> 59) & 0xF
+
+
+def cell_to_parent(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray:
+    """Pure bit math: zero the digits below parent_res, rewrite res."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    pr = res - 1 if parent_res is None else parent_res
+    if np.any(pr < 0) or np.any(pr > res):
+        raise ValueError("parent_res must be in [0, res]")
+    pr = np.broadcast_to(np.asarray(pr, dtype=np.int64), cell.shape)
+    keep_digits = np.zeros_like(cell)
+    for k in range(MAX_RES):
+        keep_digits |= np.where(k < pr, cell & (np.int64(7) << np.int64(39 - 3 * k)), 0)
+    base = cell & ((np.int64(1) << np.int64(59)) - 1) & ~((np.int64(1) << np.int64(42)) - 1)
+    return (pr << np.int64(59)) | base | keep_digits
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """cell ids -> (lat°, lon°) of cell centers (vectorized)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    face = (cell >> 54) & 0x1F
+    # Horner over depths: h = h0; for r in 1..res: h = B.h + d_r
+    # (exact in float64 — |h| stays far below 2^53 at res <= 14)
+    max_r = int(res.max()) if cell.size else 0
+    hi = (((cell >> 48) & 0x3F) - 32).astype(np.float64)
+    hj = (((cell >> 42) & 0x3F) - 32).astype(np.float64)
+    for k in range(max_r):  # depth r = k + 1, digit index k
+        active = k < res
+        d = np.where(active, (cell >> np.int64(39 - 3 * k)) & 7, 0)
+        di = _IJ_OF_DIGIT[d][..., 0].astype(np.float64)
+        dj = _IJ_OF_DIGIT[d][..., 1].astype(np.float64)
+        nhi = hi - 2.0 * hj + di
+        nhj = 2.0 * hi + 3.0 * hj + dj
+        hi = np.where(active, nhi, hi)
+        hj = np.where(active, nhj, hj)
+    # xy = A0 . B^-res . h   (per-res inverse powers, masked loop)
+    for _step in range(max_r):
+        active = res > _step
+        nhi = _B_INV[0, 0] * hi + _B_INV[0, 1] * hj
+        nhj = _B_INV[1, 0] * hi + _B_INV[1, 1] * hj
+        hi = np.where(active, nhi, hi)
+        hj = np.where(active, nhj, hj)
+    xy = np.stack([hi, hj], axis=-1) @ _A0.T
+    return _xyz_to_ll(_inv_gnomonic(xy, face))

@@ -38,19 +38,30 @@ from fairy_core_spark.spatial import s2
 TILE_LEVEL = 12  # H3 res-7 equivalent (avg cell area ~5.1 km^2)
 
 
-def cell_udf(level: int):
-    """(lat, lon) -> S2 cell id at level, Arrow-batched."""
+def cell_udf(level: int, scheme: str = "s2"):
+    """(lat, lon) -> cell id at level, Arrow-batched. ``scheme``: "s2"
+    (quadtree, published-vector-gated) or "hex7" (aperture-7 icosahedral
+    hex index, spatial/hex7.py — S2 level ~2r+3 matches hex7 res r cell
+    area; hex7 res 7 ~ the H3-res-7 tiling of the north rule)."""
+    if scheme == "s2":
+        enc = lambda la, lo: s2.cell_id(la, lo, level)  # noqa: E731
+    elif scheme == "hex7":
+        from fairy_core_spark.spatial import hex7
+
+        enc = lambda la, lo: hex7.cell_id(la, lo, level)  # noqa: E731
+    else:
+        raise ValueError(f"unknown cell scheme {scheme!r}; one of ['s2', 'hex7']")
 
     @F.pandas_udf(LongType())
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(s2.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level))
+        return pd.Series(enc(lat.to_numpy(np.float64), lon.to_numpy(np.float64)))
 
     return _enc
 
 
 def with_cell(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
-              level: int = TILE_LEVEL, out: str = "cell") -> DataFrame:
-    return df.withColumn(out, cell_udf(level)(F.col(lat_col), F.col(lon_col)))
+              level: int = TILE_LEVEL, out: str = "cell", scheme: str = "s2") -> DataFrame:
+    return df.withColumn(out, cell_udf(level, scheme)(F.col(lat_col), F.col(lon_col)))
 
 
 def _rings_dict(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:

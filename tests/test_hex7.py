@@ -1,0 +1,146 @@
+"""hex7 aperture-7 icosahedral index tests (SURVEY.md §2.6 — the H3-class
+sibling of S2). Published-vector parity with H3 proper is impossible
+in-sandbox (H3 numbering depends on its 122-entry base-cell DATA table;
+no table, no h3 lib — see spatial/hex7.py's module docstring), so these
+tests pin the construction by its mathematical properties instead:
+exactness of the lattice round trip, the coset/digit system, aperture-7
+density growth, hierarchy bit math, and locality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.spatial import hex7
+
+
+def _sample(n=20000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-89, 89, n), rng.uniform(-180, 180, n)
+
+
+def test_icosahedron_from_first_principles():
+    # 20 faces, unit centers, face centers pairwise distinct
+    assert hex7._FACES.shape == (20, 3)
+    assert np.allclose(np.linalg.norm(hex7._CENTERS, axis=1), 1.0)
+    d = hex7._CENTERS @ hex7._CENTERS.T
+    np.fill_diagonal(d, -1)
+    assert d.max() < 0.99
+
+
+def test_residue_table_is_a_coset_system():
+    # rebuilt here so a table regression cannot hide: every remainder in
+    # the rounding bound maps to exactly one (delta, digit) — asserted
+    # inside the builder
+    di, dj, dig, rng_ = hex7._build_residue_tables()
+    assert (dig >= 0).all() and (dig <= 6).all()
+    # digit of the zero remainder is 0 with zero correction
+    assert dig[rng_, rng_] == 0 and di[rng_, rng_] == 0 and dj[rng_, rng_] == 0
+
+
+@pytest.mark.parametrize("res", [0, 1, 3, 7, 14])
+def test_roundtrip_exact_within_owning_face(res):
+    """encode(center(cell)) == cell EXACTLY whenever the center lands on
+    the owning face (the lattice math has no error); the only misses are
+    face-edge-clipped cells whose nominal center falls across the seam —
+    a fraction that shrinks ~sqrt(7)x per res."""
+    lat, lon = _sample()
+    c = hex7.cell_id(lat, lon, res)
+    assert (c >= 0).all()
+    assert (hex7.cell_res(c) == res).all()
+    cla, clo = hex7.cell_center(c)
+    c2 = hex7.cell_id(cla, clo, res)
+    same_face = hex7._nearest_face(hex7._ll_to_xyz(cla, clo)) == ((c >> 54) & 0x1F)
+    assert (c[same_face] == c2[same_face]).all()
+    # and the seam fraction is small at working resolutions
+    if res >= 5:
+        assert (c == c2).mean() > 0.99
+
+
+def test_aperture7_density_growth():
+    """On a fixed single-face patch, distinct-cell count multiplies by ~7
+    per resolution once the interior term dominates (the defining
+    aperture-7 property)."""
+    rng = np.random.default_rng(1)
+    lat = rng.uniform(20, 25, 200000)
+    lon = rng.uniform(20, 25, 200000)
+    counts = [len(np.unique(hex7.cell_id(lat, lon, r))) for r in range(4, 8)]
+    ratios = [counts[i + 1] / counts[i] for i in range(len(counts) - 1)]
+    assert all(4.0 < r < 8.5 for r in ratios), (counts, ratios)
+
+
+def test_digit_distribution_uniform():
+    rng = np.random.default_rng(2)
+    lat = rng.uniform(20, 25, 100000)
+    lon = rng.uniform(20, 25, 100000)
+    c = hex7.cell_id(lat, lon, 6)
+    last = (c >> np.int64(39 - 3 * 5)) & 7
+    freq = np.bincount(last, minlength=7) / len(last)
+    assert freq.min() > 0.10 and freq.max() < 0.20  # 1/7 ~ 0.143
+
+
+def test_parent_bit_math_matches_coarser_encode():
+    """cell_to_parent is pure digit truncation; it equals encoding the
+    same point at the coarser res except near parent-cell boundaries
+    (the same caveat H3 documents for cellToParent vs latLngToCell)."""
+    lat, lon = _sample()
+    c7 = hex7.cell_id(lat, lon, 7)
+    c6 = hex7.cell_id(lat, lon, 6)
+    p = hex7.cell_to_parent(c7)
+    assert (hex7.cell_res(p) == 6).all()
+    assert (p == c6).mean() > 0.85
+    # deep truncation composes: parent-of-parent == parent_res=5
+    p5a = hex7.cell_to_parent(hex7.cell_to_parent(c7))
+    p5b = hex7.cell_to_parent(c7, parent_res=5)
+    assert (p5a == p5b).all()
+    # parent center is near the child center (within the parent pitch)
+    pla, plo = hex7.cell_center(p)
+    cla, clo = hex7.cell_center(c7)
+    on_same_face = ((p >> 54) & 0x1F) == ((c7 >> 54) & 0x1F)
+    d = np.hypot(pla - cla, (plo - clo + 180) % 360 - 180)[on_same_face]
+    assert np.quantile(d, 0.99) < 1.0  # res-6 pitch ~ 0.2 deg at s0=0.5
+
+
+def test_locality_and_determinism():
+    lat, lon = _sample()
+    a = hex7.cell_id(lat, lon, 5)
+    b = hex7.cell_id(lat + 1e-4, lon + 1e-4, 5)
+    assert (a == b).mean() > 0.995
+    assert (a == hex7.cell_id(lat, lon, 5)).all()
+    one = hex7.cell_id(np.array([40.7]), np.array([-74.0]), 9)[0]
+    assert one == hex7.cell_id(np.array([40.7, 0.0]), np.array([-74.0, 0.0]), 9)[0]
+
+
+def test_res_validation():
+    with pytest.raises(ValueError):
+        hex7.cell_id(np.zeros(1), np.zeros(1), 15)
+    with pytest.raises(ValueError):
+        hex7.cell_id(np.zeros(1), np.zeros(1), -1)
+
+
+def test_spark_udf_matches_numpy(spark):
+    from fairy_core_spark.spatial.ops import with_cell
+
+    pts = spark.range(3000).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    got = {
+        r["point_id"]: r["cell"]
+        for r in with_cell(pts, level=5, scheme="hex7").collect()
+    }
+    ids = np.arange(3000)
+    lat = ((ids * 7919) % 120000) / 1000.0 - 60.0
+    lon = ((ids * 104729) % 360000) / 1000.0 - 180.0
+    want = hex7.cell_id(lat, lon, 5)
+    assert got == {int(i): int(w) for i, w in zip(ids, want)}
+
+
+def test_unknown_scheme_rejected(spark):
+    from fairy_core_spark.spatial.ops import with_cell
+
+    df = spark.range(1).select(F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"))
+    with pytest.raises(ValueError):
+        with_cell(df, scheme="h4")
