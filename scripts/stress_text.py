@@ -106,12 +106,14 @@ def main() -> int:
                                     hash_tokens=False, prefilter="none"))
 
     # realistic corpus: 50k-word vocab -> unrelated docs share ~0 tokens,
-    # only the planted neighbor dups are true pairs. This is where the
-    # exact PPJoin-style prefix filter earns its keep vs the naive
-    # O(block^2) verify. Coarser blocks (~1000 docs) stress the quadratic.
+    # only the planted neighbor dups are true pairs. SAME fine blocking as
+    # the dense run (same candidate-pair volume), so the naive baseline is
+    # directly comparable to the dense 87s figure — this is where the
+    # exact PPJoin-style prefix filter earns its keep vs the O(block^2)
+    # verify.
     wide = (
         synth_docs(spark, n, n_vocab=50_000)
-        .withColumn("blk", F.pmod(F.col("doc_id"), F.lit(2003)))
+        .withColumn("blk", F.pmod(F.col("doc_id"), F.lit(20011)))
         .repartition(64)
         .cache()
     )
