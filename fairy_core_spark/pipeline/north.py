@@ -44,14 +44,22 @@ def north_pipeline(
     level: int = TILE_LEVEL,
     n_partitions: int | None = None,
     broadcast_geo: bool = True,
+    cell_scheme: str = "s2",
 ) -> DataFrame:
-    """images + geo + polygons -> per-tile rollup DataFrame (one action)."""
+    """images + geo + polygons -> per-tile rollup DataFrame (one action).
+
+    ``cell_scheme``: "s2" (default; level 12 ~ H3 res 7 cell area) or
+    "hex7" (aperture-7 hexagonal tiles, spatial/hex7.py — pass a hex7
+    res as ``level``, e.g. 7). The plan shape is identical either way:
+    both encoders are one Arrow projection."""
     checked = with_image_checks(images)
     valid = checked.where(
         F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
     )
     g = F.broadcast(geo) if broadcast_geo else geo
-    encoded = with_cell(valid.join(g, "image_id"), "lat", "lon", level, out="tile_id")
+    encoded = with_cell(
+        valid.join(g, "image_id"), "lat", "lon", level, out="tile_id", scheme=cell_scheme
+    )
     annotated = spatial_annotate_broadcast(encoded, polygons_pdf)
     prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - PREFIX_BITS)
     if n_partitions is None:

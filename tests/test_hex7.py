@@ -144,3 +144,20 @@ def test_unknown_scheme_rejected(spark):
     df = spark.range(1).select(F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"))
     with pytest.raises(ValueError):
         with_cell(df, scheme="h4")
+
+
+def test_north_pipeline_hex7_scheme(spark):
+    """The flagship pipeline accepts cell_scheme='hex7': same validated
+    image population, hexagonal tiles instead of S2 quadtree cells."""
+    from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
+    from fairy_core_spark.pipeline.north import north_pipeline
+
+    images = images_df(spark, 600, partitions=4, dirty_every=100)
+    geo = geo_df(spark, 600, partitions=4)
+    s2_tiles = north_pipeline(images, geo, polygons_pdf(10), n_partitions=4).collect()
+    hex_tiles = north_pipeline(
+        images, geo, polygons_pdf(10), level=5, n_partitions=4, cell_scheme="hex7"
+    ).collect()
+    assert sum(r["n_images"] for r in hex_tiles) == sum(r["n_images"] for r in s2_tiles) > 0
+    # hex ids carry the hex7 res field, s2 ids do not collide with them
+    assert {(int(r["tile_id"]) >> 59) & 0xF for r in hex_tiles} == {5}
