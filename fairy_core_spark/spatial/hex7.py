@@ -191,6 +191,35 @@ _BPOW = [_matpow(_B, k) for k in range(MAX_RES + 1)]
 _BINVPOW = [_matpow(_B_INV, k) for k in range(MAX_RES + 1)]
 
 
+def ij_to_cell(face: np.ndarray, i: np.ndarray, j: np.ndarray, res: int) -> np.ndarray:
+    """(face, full-res axial lattice coords) -> int64 cell ids: top-down
+    digit extraction, res r -> r-1 via parent ~ rint(B^-1 h), then the
+    residue-correction table lands the remainder in the 7-coset
+    representative set (exact integer arithmetic throughout). Inverse of
+    :func:`cell_to_ij` for any in-range lattice point."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    face = np.asarray(face, dtype=np.int64)
+    ci = np.asarray(i, dtype=np.int64)
+    cj = np.asarray(j, dtype=np.int64)
+    digits = np.zeros(ci.shape + (MAX_RES,), dtype=np.int64)
+    for r in range(res, 0, -1):
+        pi = np.rint((3 * ci + 2 * cj) / 7.0).astype(np.int64)
+        pj = np.rint((cj - 2 * ci) / 7.0).astype(np.int64)
+        ri = ci - (pi - 2 * pj)  # h - B . parent
+        rj = cj - (2 * pi + 3 * pj)
+        pi = pi + _CORR_DI[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        pj = pj + _CORR_DJ[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        digits[..., r - 1] = _CORR_DIGIT[ri + _CORR_RANGE, rj + _CORR_RANGE]
+        ci, cj = pi, pj
+    i0, j0 = np.clip(ci, -32, 31), np.clip(cj, -32, 31)
+    out = (np.int64(res) << np.int64(59)) | (face << np.int64(54))
+    out = out | ((i0 + 32) << np.int64(48)) | ((j0 + 32) << np.int64(42))
+    for k in range(res):
+        out = out | (digits[..., k] << np.int64(39 - 3 * k))
+    return out
+
+
 def cell_id(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     """(lat°, lon°) arrays -> hex7 int64 cell ids at resolution res."""
     if not 0 <= res <= MAX_RES:
@@ -203,26 +232,7 @@ def cell_id(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     # fractional axial coords at res: B^res . A0^-1 . xy
     fij = xy @ (_BPOW[res] @ _A0_INV).T
     i, j = _hexround(fij[..., 0], fij[..., 1])
-    # top-down digit extraction: res r -> r-1 via parent ~ rint(B^-1 h),
-    # then the residue-correction table lands the remainder in the 7-coset
-    # representative set (exact integer arithmetic throughout)
-    digits = np.zeros((len(lat), MAX_RES), dtype=np.int64)
-    ci, cj = i, j
-    for r in range(res, 0, -1):
-        pi = np.rint((3 * ci + 2 * cj) / 7.0).astype(np.int64)
-        pj = np.rint((cj - 2 * ci) / 7.0).astype(np.int64)
-        ri = ci - (pi - 2 * pj)  # h - B . parent
-        rj = cj - (2 * pi + 3 * pj)
-        pi = pi + _CORR_DI[ri + _CORR_RANGE, rj + _CORR_RANGE]
-        pj = pj + _CORR_DJ[ri + _CORR_RANGE, rj + _CORR_RANGE]
-        digits[:, r - 1] = _CORR_DIGIT[ri + _CORR_RANGE, rj + _CORR_RANGE]
-        ci, cj = pi, pj
-    i0, j0 = np.clip(ci, -32, 31), np.clip(cj, -32, 31)
-    out = (np.int64(res) << np.int64(59)) | (face.astype(np.int64) << np.int64(54))
-    out = out | ((i0 + 32) << np.int64(48)) | ((j0 + 32) << np.int64(42))
-    for k in range(res):
-        out = out | (digits[:, k] << np.int64(39 - 3 * k))
-    return out
+    return ij_to_cell(face, i, j, res)
 
 
 def cell_res(cell: np.ndarray) -> np.ndarray:
@@ -272,3 +282,162 @@ def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         hj = np.where(active, nhj, hj)
     xy = np.stack([hi, hj], axis=-1) @ _A0.T
     return _xyz_to_ll(_inv_gnomonic(xy, face))
+
+
+# --- neighborhood / hierarchy ops (the H3 grid-API siblings:
+#     gridDisk / cellToChildren / compactCells / uncompactCells) ----------
+
+
+def cell_to_ij(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell ids -> (face, i, j, res): full-res integer axial lattice
+    coords via exact int64 Horner (h = B·h + digit per level). Inverse of
+    :func:`ij_to_cell`."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    face = (cell >> 54) & 0x1F
+    i = ((cell >> 48) & 0x3F) - 32
+    j = ((cell >> 42) & 0x3F) - 32
+    max_r = int(res.max()) if cell.size else 0
+    for k in range(max_r):  # depth r = k + 1, digit index k
+        active = k < res
+        d = np.where(active, (cell >> np.int64(39 - 3 * k)) & 7, 0)
+        di = _IJ_OF_DIGIT[d][..., 0]
+        dj = _IJ_OF_DIGIT[d][..., 1]
+        ni = i - 2 * j + di  # B . h + digit
+        nj = 2 * i + 3 * j + dj
+        i = np.where(active, ni, i)
+        j = np.where(active, nj, j)
+    return face, i, j, res
+
+
+def _hex_dist(di: int, dj: int) -> int:
+    """hex (graph) distance of an axial offset: max of cube coords."""
+    return max(abs(di), abs(dj), abs(di + dj))
+
+
+def grid_disk(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within hex graph distance k (H3's gridDisk): decode to
+    axial coords, add every offset with hex distance <= k (3k²+3k+1
+    offsets), re-encode. (n,) -> (n, 3k²+3k+1), column 0 is the cell
+    itself; offsets in fixed scan order so output is deterministic.
+
+    Same-face lattice only (module doc, delta 2): across a face boundary
+    the disk continues on this face's gnomonic lattice rather than
+    stitching onto the neighbor face's, so a boundary cell's disk can
+    contain ids no point ever encodes to. Harmless for superset
+    prefilters (pad-then-refine); not a topological k-ring there."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    cell = np.asarray(cell, dtype=np.int64)
+    face, i, j, res = cell_to_ij(cell)
+    r0 = int(res[0]) if cell.size else 0
+    if cell.size and not np.all(res == r0):
+        raise ValueError("grid_disk requires all cells at one resolution")
+    offs = np.array(
+        [(di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)
+         if _hex_dist(di, dj) <= k],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    ii = i[:, None] + offs[None, :, 0]
+    jj = j[:, None] + offs[None, :, 1]
+    ff = np.broadcast_to(face[:, None], ii.shape)
+    return ij_to_cell(ff, ii, jj, r0)
+
+
+def cell_to_children(cell: np.ndarray) -> np.ndarray:
+    """Immediate children (H3's cellToChildren at res+1): append each of
+    the 7 digits, rewrite res — pure bit math, (n,) -> (n, 7)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell_res(cell)
+    if np.any(res >= MAX_RES):
+        raise ValueError(f"children beyond MAX_RES={MAX_RES}")
+    base = (cell & ~(np.int64(0xF) << np.int64(59))) | ((res + 1) << np.int64(59))
+    shift = 39 - 3 * res
+    return base[:, None] | (np.arange(7, dtype=np.int64)[None, :] << shift[:, None])
+
+
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """Minimal mixed-res set covering exactly the same area (H3's
+    compactCells): wherever all 7 children of a parent are present they
+    are replaced by the parent, cascading upward. Every hex7 parent has
+    exactly 7 children (center + 6 coset neighbors), so compaction is
+    exact — :func:`uncompact_cells` back to the original res roundtrips."""
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    if cur.size == 0:
+        return cur
+    for r in range(int(cell_res(cur).max()), 0, -1):
+        mask = cell_res(cur) == r
+        at_r, rest = cur[mask], cur[~mask]
+        if at_r.size == 0:
+            continue
+        parents = cell_to_parent(at_r)
+        up, counts = np.unique(parents, return_counts=True)
+        full = up[counts == 7]
+        keep = at_r[~np.isin(parents, full)]
+        cur = np.concatenate([rest, keep, full])
+    return np.sort(cur)
+
+
+def uncompact_cells(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a (possibly mixed-res) cell set to uniform ``res`` (H3's
+    uncompactCells); every input cell must be at res <= ``res``."""
+    cur = np.asarray(cells, dtype=np.int64)
+    if np.any(cell_res(cur) > res):
+        raise ValueError(f"uncompact target res {res} below an input cell's res")
+    out = [cur[cell_res(cur) == res]]
+    work = cur[cell_res(cur) < res]
+    while work.size:
+        ch = cell_to_children(work).ravel()
+        out.append(ch[cell_res(ch) == res])
+        work = ch[cell_res(ch) < res]
+    return np.sort(np.concatenate(out))
+
+
+def cell_inradius_deg(res: int) -> float:
+    """Conservative ground inradius of a res cell in degrees: plane
+    inradius edge·√3/2 at gnomonic scale (plane units ~ radians at the
+    face center; toward face edges the same plane length covers LESS
+    ground — d_plane = tan(θ) — so sampling pitches derived from this
+    must divide by the worst-case gnomonic stretch, see callers)."""
+    return float(np.degrees(_S0 * 7.0 ** (-res / 2.0) * np.sqrt(3.0) / 2.0))
+
+
+def polyfill(ring: np.ndarray, res: int, mode: str = "cover") -> np.ndarray:
+    """Polygon -> hex7 cells (H3's polygonToCells). ``ring`` is a closed
+    (m, 2) [lat, lon] array. ``mode="centers"``: cells whose center lies
+    inside the ring (H3's containment default). ``mode="cover"``: a
+    superset of every cell any interior point encodes to — bbox sampled
+    at 1/3 of the worst-case ground inradius, inside-samples' cells
+    padded with grid_disk(2) (prefilter covering for equi-join + exact
+    refine; over-cover is harmless there, and the refine restores
+    exactness). Driver-side numpy for broadcast-scale polygons."""
+    from fairy_core_spark.functions.geometry import point_in_ring
+
+    if mode not in ("centers", "cover"):
+        raise ValueError(f"unknown polyfill mode {mode!r}")
+    ring = np.asarray(ring, dtype=np.float64)
+    lat0, lat1 = ring[:, 0].min(), ring[:, 0].max()
+    lon0, lon1 = ring[:, 1].min(), ring[:, 1].max()
+    # worst-case gnomonic stretch within a face is bounded by ~2x for the
+    # icosahedron (face circumradius ~37.4°, dθ/dd = cos²θ >= 0.5); /3 on
+    # top of that so any ground disk of one inradius holds a sample
+    pitch = cell_inradius_deg(res) / (2.0 * 3.0)
+    n_lat = int((lat1 - lat0) / pitch) + 2
+    n_lon = int((lon1 - lon0) / pitch) + 2
+    if n_lat * n_lon > 4_000_000:
+        raise ValueError(
+            f"polyfill sample grid {n_lat}x{n_lon} too large; use a coarser res"
+        )
+    glat, glon = np.meshgrid(
+        np.clip(np.linspace(lat0, lat1, n_lat), -90.0, 90.0),
+        np.clip(np.linspace(lon0, lon1, n_lon), -180.0, 180.0),
+    )
+    glat, glon = glat.ravel(), glon.ravel()
+    inside = point_in_ring(glat, glon, ring)
+    cells = np.unique(cell_id(glat[inside], glon[inside], res))
+    if mode == "centers":
+        cl, cn = cell_center(cells)
+        return cells[point_in_ring(cl, cn, ring)]
+    if cells.size == 0:
+        return cells
+    return np.unique(grid_disk(cells, 2).ravel())

@@ -1,0 +1,134 @@
+"""Spark-side hex7 hierarchy operators — zero-Python Column bit math over
+the int64 cell layout of spatial/hex7.py (bits [59:63)=res, [54:59)=face,
+[48:54)/[42:48)=res-0 coords, 14x3 digit bits below), plus distributed
+compact/uncompact over cell-set DataFrames.
+
+These are the engine's siblings of H3's grid API (cellToParent /
+cellToChildren / compactCells / uncompactCells) expressed as Catalyst
+expressions: parent extraction and child enumeration never leave the JVM
+(whole-stage codegen), so rolling a res-9 tiling up to res-5 or exploding
+a compacted covering back to query res is shuffle-only-where-the-groupBy-
+is, with no Arrow hop. The point-encode itself (lat/lon -> cell) stays the
+Arrow pandas_udf in spatial/ops.with_cell — that is the only Python in
+any hex7 plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fairy_core_spark.spatial.hex7 import MAX_RES
+
+_RES_FIELD_MASK = 0xF << 59  # bits [59:63)
+_BELOW_RES_MASK = (1 << 59) - 1
+
+
+def hex7_res_col(cell: Column) -> Column:
+    """resolution field of a hex7 cell id (long)."""
+    return F.shiftrightunsigned(cell, 59).bitwiseAND(F.lit(0xF))
+
+
+def hex7_parent_col(cell: Column, parent_res: int) -> Column:
+    """cellToParent as pure Column bit math: zero the digit fields below
+    ``parent_res``, rewrite the res field. Mirrors the numpy
+    spatial/hex7.cell_to_parent exactly (tested); rows must already be at
+    res >= parent_res (ids below that res are the caller's bug — same
+    contract as the numpy op, which validates, where a Column cannot)."""
+    if not 0 <= parent_res <= MAX_RES:
+        raise ValueError(f"parent_res must be in [0, {MAX_RES}], got {parent_res}")
+    drop_bits = 42 - 3 * parent_res
+    keep_mask = _BELOW_RES_MASK & ~((1 << max(drop_bits, 0)) - 1)
+    return (
+        F.lit(parent_res << 59).cast("long")
+        .bitwiseOR(cell.bitwiseAND(F.lit(keep_mask).cast("long")))
+    )
+
+
+def explode_children(df: DataFrame, cell_col: str = "cell", out: str | None = None) -> DataFrame:
+    """cellToChildren: one row per (row, child) — 7 children per cell,
+    res+1, all Column bit math (digit d appended at the next digit slot,
+    res field rewritten). Mirrors numpy spatial/hex7.cell_to_children."""
+    out = out or cell_col
+    res = hex7_res_col(F.col(cell_col))
+    base = F.col(cell_col).bitwiseAND(F.lit(~_RES_FIELD_MASK).cast("long"))
+    new_res = F.shiftleft((res + F.lit(1)).cast("long"), 59)
+    exploded = df.withColumn("__h7_d", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(6).cast("long"))))
+    child = new_res.bitwiseOR(base).bitwiseOR(
+        F.expr(f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned({cell_col}, 59) & 15) AS INT))")
+    )
+    return exploded.withColumn(out, child).drop("__h7_d")
+
+
+def compact_cells_df(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """compactCells, distributed: replace every full set of 7 siblings by
+    their parent, cascading upward — the minimal mixed-res set covering
+    exactly the input cells. Each level is one map-side-combinable
+    groupBy(parent) plus an anti-join on the same key (the exchange is
+    reused), over a set that only shrinks. Each level's result is
+    localCheckpoint-materialized (the connected-components pattern,
+    operators/dedup.py): the level plan references the working set three
+    times (at-res / rest / sibling counts), so without truncation the
+    lineage would branch 3x per level and recompute exponentially. Level
+    count is bounded by the input's max res. Scale shape: state is the
+    cell set itself, never collected."""
+    cur = df.select(F.col(cell_col).cast("long").alias(cell_col)).distinct()
+    bounds = cur.agg(
+        F.min(hex7_res_col(F.col(cell_col))).alias("lo"),
+        F.max(hex7_res_col(F.col(cell_col))).alias("hi"),
+    ).first()
+    if bounds["hi"] is None:
+        return cur
+    res = hex7_res_col(F.col(cell_col))
+    cur = cur.localCheckpoint()
+    for r in range(int(bounds["hi"]), 0, -1):
+        at_r = cur.where(res == r).withColumn("__p", hex7_parent_col(F.col(cell_col), r - 1))
+        rest = cur.where(res != r)
+        full = (
+            at_r.groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") == 7)
+            .select("__p")
+        )
+        keep = at_r.join(full, "__p", "left_anti").select(cell_col)
+        parents = full.select(F.col("__p").alias(cell_col))
+        cur = rest.unionByName(keep).unionByName(parents).localCheckpoint()
+    return cur
+
+
+def uncompact_cells_df(df: DataFrame, cell_col: str = "cell", res: int = MAX_RES) -> DataFrame:
+    """uncompactCells, distributed: expand a mixed-res cell set to uniform
+    ``res`` by repeated 7-way child explosion (Column bit math, no
+    shuffle at all). Each level is ONE conditional-explode projection —
+    rows already at the target res pass through on a null explode element
+    — so the plan stays linear (no union branching, no lineage blowup)
+    and the whole expansion is a single narrow stage. Raises if any input
+    cell sits below ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    cur = df.select(F.col(cell_col).cast("long").alias(cell_col))
+    res_c = hex7_res_col(F.col(cell_col))
+    bounds = cur.agg(F.min(res_c).alias("lo"), F.max(res_c).alias("hi")).first()
+    if bounds["hi"] is None:
+        return cur
+    if int(bounds["hi"]) > res:
+        raise ValueError(f"uncompact target res {res} below an input cell's res {bounds['hi']}")
+    digits = F.sequence(F.lit(0).cast("long"), F.lit(6).cast("long"))
+    passthrough = F.array(F.lit(None).cast("long"))
+    for _ in range(res - int(bounds["lo"])):
+        stepped = cur.withColumn(
+            "__h7_d", F.explode(F.when(res_c < res, digits).otherwise(passthrough))
+        )
+        child = (
+            F.shiftleft((res_c + F.lit(1)).cast("long"), 59)
+            .bitwiseOR(F.col(cell_col).bitwiseAND(F.lit(~_RES_FIELD_MASK).cast("long")))
+            .bitwiseOR(
+                F.expr(
+                    f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned({cell_col}, 59) & 15) AS INT))"
+                )
+            )
+        )
+        cur = stepped.select(
+            F.when(F.col("__h7_d").isNull(), F.col(cell_col)).otherwise(child).alias(cell_col)
+        )
+    return cur

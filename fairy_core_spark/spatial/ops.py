@@ -190,21 +190,34 @@ def spatial_join_cells(
     lat_col: str = "lat",
     lon_col: str = "lon",
     level: int = 8,
+    scheme: str = "s2",
 ) -> DataFrame:
     """Equi-join-on-cell + exact-refine plan (the at-scale fallback when
     polygons don't broadcast). Returns the same row set as the broadcast
-    plan (tested equal)."""
+    plan (tested equal). ``scheme``: "s2" (bbox-sampled covering,
+    functions/geometry.polygon_covering_cells) or "hex7" (aperture-7 hex
+    polyfill covering, spatial/hex7.polyfill mode="cover") — the covering
+    is a superset either way and the ray-cast refine restores exactness,
+    so both schemes produce the identical pair set."""
     from fairy_core_spark.functions.geometry import polygon_covering_cells
+    from fairy_core_spark.spatial import hex7
+
+    if scheme == "s2":
+        covering = lambda ring: polygon_covering_cells(ring, level)  # noqa: E731
+    elif scheme == "hex7":
+        covering = lambda ring: hex7.polyfill(ring, level, mode="cover")  # noqa: E731
+    else:
+        raise ValueError(f"unknown cell scheme {scheme!r}; one of ['s2', 'hex7']")
 
     spark = points.sparkSession
     rings = _rings_dict(polygons_pdf)
     cover_rows = []
     for pid, ring in rings.items():
-        for c in polygon_covering_cells(ring, level):
+        for c in covering(ring):
             cover_rows.append((int(c), pid))
     cover = spark.createDataFrame(cover_rows, schema="cell long, polygon_id string")
 
-    pts = with_cell(points.select(id_col, lat_col, lon_col), lat_col, lon_col, level)
+    pts = with_cell(points.select(id_col, lat_col, lon_col), lat_col, lon_col, level, scheme=scheme)
     cand = pts.join(F.broadcast(cover), "cell").drop("cell")
 
     # exact refine per candidate pair (bbox + ray cast inside an Arrow UDF)

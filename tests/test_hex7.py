@@ -161,3 +161,146 @@ def test_north_pipeline_hex7_scheme(spark):
     assert sum(r["n_images"] for r in hex_tiles) == sum(r["n_images"] for r in s2_tiles) > 0
     # hex ids carry the hex7 res field, s2 ids do not collide with them
     assert {(int(r["tile_id"]) >> 59) & 0xF for r in hex_tiles} == {5}
+
+
+# --- grid API siblings: gridDisk / children / compact / uncompact -------
+
+
+def test_cell_to_ij_roundtrip_every_res():
+    lat, lon = _sample(5000, seed=3)
+    for res in (0, 1, 4, 9, 14):
+        c = hex7.cell_id(lat, lon, res)
+        f, i, j, r = hex7.cell_to_ij(c)
+        assert (r == res).all()
+        assert np.array_equal(hex7.ij_to_cell(f, i, j, res), c)
+
+
+def test_grid_disk_sizes_and_nesting():
+    lat, lon = _sample(2000, seed=4)
+    c = np.unique(hex7.cell_id(lat, lon, 5))
+    d0 = hex7.grid_disk(c, 0)
+    assert d0.shape == (len(c), 1) and np.array_equal(d0[:, 0], c)
+    d1, d2 = hex7.grid_disk(c, 1), hex7.grid_disk(c, 2)
+    assert d1.shape[1] == 7 and d2.shape[1] == 19  # 3k^2 + 3k + 1
+    for r1, r2 in zip(d1[:100], d2[:100]):
+        assert set(r1) <= set(r2)
+    # disk members are real cells: center re-encodes to the same id away
+    # from face boundaries (spot check on the first row's disk)
+    cl, cn = hex7.cell_center(d1[0])
+    again = hex7.cell_id(cl, cn, 5)
+    assert (again == d1[0]).mean() >= 5 / 7
+
+
+def test_grid_disk_is_hex_distance_ball():
+    # every disk(1) member is reachable by one axial unit step
+    c = hex7.cell_id(np.array([12.0]), np.array([34.0]), 6)
+    f, i, j, _ = hex7.cell_to_ij(hex7.grid_disk(c, 1).ravel())
+    f0, i0, j0, _ = hex7.cell_to_ij(c)
+    di, dj = i - i0[0], j - j0[0]
+    assert set(zip(di.tolist(), dj.tolist())) == set(
+        [(0, 0), (1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)]
+    )
+
+
+def test_children_parent_inverse():
+    lat, lon = _sample(1000, seed=5)
+    c = np.unique(hex7.cell_id(lat, lon, 6))
+    ch = hex7.cell_to_children(c)
+    assert ch.shape == (len(c), 7)
+    assert (hex7.cell_res(ch.ravel()) == 7).all()
+    assert np.array_equal(np.unique(hex7.cell_to_parent(ch.ravel())), c)
+    # digits of the 7 children are 0..6 exactly
+    assert np.array_equal(np.sort(ch[0] & (7 << (39 - 3 * 6))), ch[0] & (7 << (39 - 3 * 6)))
+
+
+def test_compact_uncompact_roundtrip():
+    lat, lon = _sample(500, seed=6)
+    base = np.unique(hex7.cell_id(lat, lon, 4))[:40]
+    exp = hex7.uncompact_cells(base, 6)
+    assert len(exp) == 40 * 49
+    assert np.array_equal(hex7.compact_cells(exp), np.sort(base))
+    # dropping one leaf blocks exactly that subtree's compaction
+    partial = hex7.compact_cells(exp[1:])
+    assert len(partial) > len(base)
+    assert np.array_equal(hex7.uncompact_cells(partial, 6), np.sort(exp[1:]))
+
+
+def test_parent_containment_rate():
+    # hex hierarchies are not perfectly nested (a hexagon cannot tile a
+    # hexagon) — like H3, direct encode at the parent res agrees with
+    # cell_to_parent for the overwhelming majority of points, not all
+    lat, lon = _sample(20000, seed=7)
+    fine = hex7.cell_id(lat, lon, 8)
+    agree = hex7.cell_to_parent(fine, 5) == hex7.cell_id(lat, lon, 5)
+    assert agree.mean() > 0.85
+
+
+def test_polyfill_centers_subset_of_cover_and_cover_complete():
+    ring = np.array(
+        [[10.0, 20.0], [10.0, 50.0], [30.0, 50.0], [30.0, 20.0], [10.0, 20.0]]
+    )
+    cov = hex7.polyfill(ring, 3, mode="cover")
+    cen = hex7.polyfill(ring, 3, mode="centers")
+    assert 0 < len(cen) < len(cov)
+    assert set(cen) <= set(cov)
+    rng = np.random.default_rng(8)
+    pl = rng.uniform(10.001, 29.999, 50000)
+    pn = rng.uniform(20.001, 49.999, 50000)
+    assert np.isin(hex7.cell_id(pl, pn, 3), cov).all()
+    with pytest.raises(ValueError):
+        hex7.polyfill(ring, 3, mode="bogus")
+
+
+def test_spark_parent_children_bitmath_parity(spark):
+    from fairy_core_spark.spatial.hex7_ops import (
+        explode_children,
+        hex7_parent_col,
+        hex7_res_col,
+    )
+
+    lat, lon = _sample(3000, seed=9)
+    cells = np.unique(hex7.cell_id(lat, lon, 6))
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+    got = (
+        df.select(
+            hex7_parent_col(F.col("cell"), 3).alias("p"),
+            hex7_res_col(F.col("cell")).alias("r"),
+        )
+        .toPandas()
+    )
+    assert (got["r"] == 6).all()
+    assert np.array_equal(np.sort(got["p"].unique()), np.unique(hex7.cell_to_parent(cells, 3)))
+
+    ch = explode_children(df, "cell", out="child").select("child").toPandas()["child"]
+    assert np.array_equal(np.sort(ch.to_numpy()), np.sort(hex7.cell_to_children(cells).ravel()))
+
+
+def test_spark_compact_uncompact_distributed(spark):
+    from fairy_core_spark.spatial.hex7_ops import compact_cells_df, uncompact_cells_df
+
+    lat, lon = _sample(400, seed=10)
+    base = np.unique(hex7.cell_id(lat, lon, 4))[:25]
+    exp = hex7.uncompact_cells(base, 6)
+    # drop one leaf so the result is mixed-res
+    df = spark.createDataFrame([(int(c),) for c in exp[1:]], "cell long")
+    got = np.sort(compact_cells_df(df, "cell").toPandas()["cell"].to_numpy())
+    assert np.array_equal(got, hex7.compact_cells(exp[1:]))
+    back = np.sort(uncompact_cells_df(
+        spark.createDataFrame([(int(c),) for c in got], "cell long"), "cell", 6
+    ).toPandas()["cell"].to_numpy())
+    assert np.array_equal(back, np.sort(exp[1:]))
+
+
+def test_spatial_join_cells_hex7_scheme_equals_s2(spark):
+    from fairy_core_spark.datagen.images import geo_df, polygons_pdf
+    from fairy_core_spark.spatial.ops import spatial_join_cells
+
+    pts = geo_df(spark, 800, partitions=4).withColumnRenamed("image_id", "pid")
+    polys = polygons_pdf(8)
+    a = spatial_join_cells(pts, polys, id_col="pid", level=8, scheme="s2")
+    b = spatial_join_cells(pts, polys, id_col="pid", level=3, scheme="hex7")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    with pytest.raises(ValueError):
+        spatial_join_cells(pts, polys, id_col="pid", scheme="h4")
