@@ -53,3 +53,18 @@ def test_hex7_cells_golden_matches_engine(spark):
     )
     for r in sample.select("point_id", "hex_id").collect():
         assert golden[r["point_id"]] == r["hex_id"], r["point_id"]
+
+
+def test_hex7_cells4_golden_matches_engine(spark):
+    from fairy_core_spark.goldens.contract_goldens import HEX7_CELLS4_SF001
+    from fairy_core_spark.queries import _synth_points, _t
+    from fairy_core_spark.spatial.ops import with_cell
+
+    assert len(HEX7_CELLS4_SF001) == 1500
+    golden = dict(HEX7_CELLS4_SF001)
+    pts = _synth_points(_t(spark, SF, "customer"), "c_custkey")
+    sample = with_cell(
+        pts.where(F.col("point_id") % 13 == 0), level=4, out="hex_id", scheme="hex7"
+    )
+    for r in sample.select("point_id", "hex_id").collect():
+        assert golden[r["point_id"]] == r["hex_id"], r["point_id"]
