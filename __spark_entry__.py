@@ -6,12 +6,13 @@
 - ``queries()`` / ``oracle_sql()``: the operator registry lives in
   ``fairy_core_spark.queries`` — every operator from SURVEY.md §2 plus the
   training-pipeline/join extensions, each paired with a DuckDB oracle
-  (non-SQL key derivations — minhash/simhash hashing, S2 tiling, image
-  phash — are replayed via engine-portable md5 arithmetic or frozen,
-  drift-tested goldens so the join/aggregation logic is still
-  cross-checked). Exactly two entries stay rows-only by design, each with
-  an inline justification: spatial_cell_encode (the output IS the S2 bit
-  math) and image_validate (binary decode + PSNR report).
+  (non-SQL key derivations — minhash/simhash hashing, S2/hex7 tiling,
+  image phash — are replayed via engine-portable md5 arithmetic, frozen
+  drift-tested goldens, or published test vectors pinned as literal
+  VALUES, so the join/aggregation logic is still cross-checked). Every
+  entry carries an oracle: the former rows-only pair closed in round 3
+  (spatial_cell_encode against the 18 published S2 vectors;
+  image_validate against hand-derived counts from the datagen spec).
 """
 
 from __future__ import annotations

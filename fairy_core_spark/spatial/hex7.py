@@ -318,8 +318,9 @@ def _hex_dist(di: int, dj: int) -> int:
 def grid_disk(cell: np.ndarray, k: int) -> np.ndarray:
     """All cells within hex graph distance k (H3's gridDisk): decode to
     axial coords, add every offset with hex distance <= k (3k²+3k+1
-    offsets), re-encode. (n,) -> (n, 3k²+3k+1), column 0 is the cell
-    itself; offsets in fixed scan order so output is deterministic.
+    offsets), re-encode. (n,) -> (n, 3k²+3k+1); offsets ordered by
+    (hex distance, offset), so column 0 is the cell itself and columns
+    1-6 the immediate ring — deterministic output.
 
     Same-face lattice only (module doc, delta 2): across a face boundary
     the disk continues on this face's gnomonic lattice rather than
@@ -334,8 +335,11 @@ def grid_disk(cell: np.ndarray, k: int) -> np.ndarray:
     if cell.size and not np.all(res == r0):
         raise ValueError("grid_disk requires all cells at one resolution")
     offs = np.array(
-        [(di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)
-         if _hex_dist(di, dj) <= k],
+        sorted(
+            ((di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)
+             if _hex_dist(di, dj) <= k),
+            key=lambda o: (_hex_dist(*o), o),
+        ),
         dtype=np.int64,
     ).reshape(-1, 2)
     ii = i[:, None] + offs[None, :, 0]
@@ -391,6 +395,37 @@ def uncompact_cells(cells: np.ndarray, res: int) -> np.ndarray:
         out.append(ch[cell_res(ch) == res])
         work = ch[cell_res(ch) < res]
     return np.sort(np.concatenate(out))
+
+
+def cell_to_boundary(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """cell ids -> hexagon corner coordinates (H3's cellToBoundary):
+    returns (lat, lon) arrays of shape (n, 6), corners ordered cyclically.
+
+    Each corner is the centroid of the cell center and two adjacent
+    neighbor centers in the face plane — exactly the Voronoi vertex of
+    the hex lattice, so adjacent cells share corners bit-for-bit up to
+    float addition order (tested allclose) and the boundaries tile the
+    face with no gaps. Computed per unique res; corners of face-boundary
+    cells are projected through this face's gnomonic plane (module doc,
+    delta 2)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    face, i, j, res = cell_to_ij(cell)
+    lat = np.empty(cell.shape + (6,), dtype=np.float64)
+    lon = np.empty_like(lat)
+    units = np.array(
+        [(1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)], dtype=np.float64
+    )
+    for r in np.unique(res):
+        m = res == r
+        basis = (_A0 @ _BINVPOW[int(r)]).T  # rows: plane coords of axial units
+        centers = np.stack([i[m], j[m]], axis=-1).astype(np.float64) @ basis
+        nb = units @ basis  # (6, 2) neighbor-center offsets
+        order = np.argsort(np.arctan2(nb[:, 1], nb[:, 0]))  # cyclic in plane
+        nb = nb[order]
+        corners = centers[:, None, :] + (nb + np.roll(nb, -1, axis=0))[None] / 3.0
+        cl, cn = _xyz_to_ll(_inv_gnomonic(corners, face[m][:, None]))
+        lat[m], lon[m] = cl, cn
+    return lat, lon
 
 
 def cell_inradius_deg(res: int) -> float:

@@ -304,3 +304,43 @@ def test_spatial_join_cells_hex7_scheme_equals_s2(spark):
     assert ra == rb and len(ra) > 0
     with pytest.raises(ValueError):
         spatial_join_cells(pts, polys, id_col="pid", scheme="h4")
+
+
+def test_grid_disk_center_first_ring_next():
+    c = hex7.cell_id(np.array([12.0, -40.0]), np.array([34.0, 150.0]), 6)
+    d2 = hex7.grid_disk(c, 2)
+    assert np.array_equal(d2[:, 0], c)
+    assert np.array_equal(np.sort(d2[:, :7]), np.sort(hex7.grid_disk(c, 1)))
+
+
+def test_cell_to_boundary_tiles_the_plane():
+    from fairy_core_spark.functions.geometry import point_in_ring
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-80, 80, 500)
+    lon = rng.uniform(-180, 180, 500)
+    cells = hex7.cell_id(lat, lon, 5)
+    bl, bn = hex7.cell_to_boundary(cells)
+    assert bl.shape == (500, 6)
+    # points lie inside their own cell's boundary hexagon (tolerating the
+    # rare flip where gnomonic curvature moves a ray-cast edge crossing)
+    inside = 0
+    for k in range(200):
+        ring = np.column_stack([np.append(bl[k], bl[k, 0]), np.append(bn[k], bn[k, 0])])
+        inside += bool(point_in_ring(np.array([lat[k]]), np.array([lon[k]]), ring)[0])
+    assert inside >= 198
+    # boundaries tile: every immediate neighbor shares exactly 2 corners
+    center = np.unique(cells)[:10]
+    disk = hex7.grid_disk(center, 1)
+    cl, cn = hex7.cell_to_boundary(disk.ravel())
+    cl, cn = cl.reshape(10, 7, 6), cn.reshape(10, 7, 6)
+    for g in range(10):
+        for nb in range(1, 7):
+            shared = sum(
+                1
+                for a in range(6)
+                for b in range(6)
+                if abs(cl[g, 0, a] - cl[g, nb, b]) < 1e-9
+                and abs(cn[g, 0, a] - cn[g, nb, b]) < 1e-9
+            )
+            assert shared == 2, (g, nb, shared)
