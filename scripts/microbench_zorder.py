@@ -43,6 +43,8 @@ def main() -> int:
     bench("geohash-8 (native, from morton)",
           pts.withColumn("gh", geohash_col(F.col("lat"), F.col("lon"), 8)))
     bench("S2 level-12 (Arrow pandas_udf numpy)", with_cell(pts, level=12))
+    bench("hex7 res-7 (Arrow pandas_udf numpy)",
+          with_cell(pts, level=7, scheme="hex7"))
     spark.stop()
     return 0
 
