@@ -43,6 +43,7 @@ def streaming_tile_rollup(
     slide: str | None = None,
     watermark: str = "20 minutes",
     rsd: float = 0.05,
+    cell_scheme: str = "s2",
 ) -> DataFrame:
     """Per-(window, tile) streaming rollup: image count, mean dims, distinct
     phash estimate (HLL with relative std deviation ``rsd``), dup estimate.
@@ -51,9 +52,12 @@ def streaming_tile_rollup(
     approx_distinct_phash, approx_phash_dups) for ``writeStream`` in append
     mode. Column set mirrors the batch ``tile_aggregates`` where streaming
     semantics allow (exact dup counts need the batch path or
-    ``foreach_batch_tile_writer``).
+    ``foreach_batch_tile_writer``). ``cell_scheme``: "s2" (default) or
+    "hex7" (hexagonal tiles — pass a hex7 res as ``level``); the encode
+    is a stateless projection, so the scheme choice does not touch
+    watermark/state semantics.
     """
-    tiled = with_cell(stream, lat_col, lon_col, level, out="tile_id")
+    tiled = with_cell(stream, lat_col, lon_col, level, out="tile_id", scheme=cell_scheme)
     tiled = tiled.withColumn("__event_ts", F.col(ts_col).cast("timestamp"))
     win = F.window(F.col("__event_ts"), window, slide or window)
     n = F.count(F.lit(1))
@@ -78,6 +82,7 @@ def foreach_batch_tile_writer(
     ts_col: str = "ts",
     level: int = TILE_LEVEL,
     window: str = "10 minutes",
+    cell_scheme: str = "s2",
 ):
     """Exact-variant sink: a ``foreachBatch`` function that runs the BATCH
     two-level exact dup rollup (spatial/ops.py ``tile_aggregates_annotated``
@@ -94,7 +99,7 @@ def foreach_batch_tile_writer(
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        tiled = with_cell(batch_df, lat_col, lon_col, level, out="tile_id")
+        tiled = with_cell(batch_df, lat_col, lon_col, level, out="tile_id", scheme=cell_scheme)
         tiled = tiled.withColumn(
             "window_start",
             F.window(F.col(ts_col).cast("timestamp"), window).getField("start"),

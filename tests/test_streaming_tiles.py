@@ -246,3 +246,47 @@ def test_foreach_batch_writer_replay_is_idempotent(spark, tmp_path):
     writer(batch, 7)  # replay of the same micro-batch
     twice = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
     assert once == twice
+
+
+def test_streaming_rollup_hex7_scheme_matches_batch(spark, tmp_path):
+    """cell_scheme='hex7' flows through the streaming rollup: same windows
+    and totals as the batch aggregation over hexagonal tiles."""
+    src = tmp_path / "src_hex"
+    batch = _source_df(spark)
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(str(src))
+    rollup = streaming_tile_rollup(
+        stream, level=5, window="1 hour", watermark="0 seconds", cell_scheme="hex7"
+    )
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tile_rollup_hex")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hex"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["tile_id"]): r["n_images"]
+        for r in spark.sql(
+            "SELECT window.start AS ws, tile_id, n_images FROM tile_rollup_hex"
+        ).collect()
+    }
+    assert got, "no closed windows emitted"
+    # batch replay over windows strictly before the final (never-closed) one
+    exp_df = (
+        with_cell(batch, "lat", "lon", 5, out="tile_id", scheme="hex7")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("window"), "tile_id")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .select(F.col("window.start").alias("ws"), "tile_id", "n_images")
+    )
+    last_ws = exp_df.agg(F.max("ws").alias("m")).collect()[0]["m"]
+    exp = {
+        (r["ws"], r["tile_id"]): r["n_images"]
+        for r in exp_df.where(F.col("ws") < F.lit(last_ws)).collect()
+    }
+    assert {k: v for k, v in got.items() if k[0] < last_ws} == exp
+    # hex ids carry the hex7 res field
+    assert {(int(t) >> 59) & 0xF for _, t in got} == {5}
