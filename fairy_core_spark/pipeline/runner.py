@@ -170,8 +170,13 @@ class PipelineRunner:
 # ------------------------- the flagship image pipeline -------------------------
 
 
-def image_pipeline_stages(n_images: int, tile_level: int = 12) -> list[Stage]:
-    """validate -> encode(+geo) -> spatial-join -> tile (north-rule order)."""
+def image_pipeline_stages(
+    n_images: int, tile_level: int = 12, cell_scheme: str = "s2"
+) -> list[Stage]:
+    """validate -> encode(+geo) -> spatial-join -> tile (north-rule order).
+    ``cell_scheme``: "s2" (default) or "hex7" (pass a hex7 res as
+    ``tile_level``); baked into the encode stage version so switching
+    schemes invalidates the checkpoint instead of resuming stale cells."""
     from fairy_core_spark.datagen.images import geo_df, images_df, polygons_pdf
     from fairy_core_spark.operators.images import with_image_checks
     from fairy_core_spark.spatial.ops import (
@@ -196,7 +201,7 @@ def image_pipeline_stages(n_images: int, tile_level: int = 12) -> list[Stage]:
             F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
         )
         tagged = valid.join(frames["geo"], "image_id")
-        return with_cell(tagged, "lat", "lon", tile_level, out="cell")
+        return with_cell(tagged, "lat", "lon", tile_level, out="cell", scheme=cell_scheme)
 
     def join_polygons(spark, frames):
         return spatial_join_broadcast(
@@ -215,7 +220,8 @@ def image_pipeline_stages(n_images: int, tile_level: int = 12) -> list[Stage]:
         Stage("gen_images", [], gen_images, "images", version=gen_v),
         Stage("gen_geo", [], gen_geo, "geo", version=gen_v),
         Stage("validate", ["images"], validate, "validated"),
-        Stage("encode", ["validated", "geo"], encode, "encoded"),
+        Stage("encode", ["validated", "geo"], encode, "encoded",
+              version=f"1:level={tile_level}:scheme={cell_scheme}"),
         Stage("spatial_join", ["encoded"], join_polygons, "pip_pairs"),
         Stage("tile", ["encoded"], tile, "tiles"),
     ]
@@ -228,12 +234,15 @@ def main() -> int:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--n-images", type=int, default=100_000)
     ap.add_argument("--tile-level", type=int, default=12)
+    ap.add_argument("--cell-scheme", default="s2", choices=["s2", "hex7"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     spark = get_spark(app_name="fairy-image-pipeline", master=args.master)
     runner = PipelineRunner(spark, args.out_dir)
-    status = runner.run(image_pipeline_stages(args.n_images, args.tile_level))
+    status = runner.run(
+        image_pipeline_stages(args.n_images, args.tile_level, args.cell_scheme)
+    )
     print(json.dumps(status, sort_keys=True))
     return 0
 
