@@ -147,3 +147,59 @@ def test_wav_roundtrip_property(samples, rate):
     assert r == rate and y.shape == (len(x), 1)
     assert np.abs(y[:, 0] - x).max() <= 2.0 / 32768 + 1e-12
     assert y.min() >= -1.0 and y.max() <= 1.0
+
+
+# --- hex7 lattice invariants (the hexagonal sibling of the S2 block) ----
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=20), st.integers(0, 14))
+def test_hex7_lattice_roundtrip(points, res):
+    from fairy_core_spark.spatial import hex7
+
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    c = hex7.cell_id(lat, lon, res)
+    f, i, j, r = hex7.cell_to_ij(c)
+    assert (r == res).all()
+    assert np.array_equal(hex7.ij_to_cell(f, i, j, res), c)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=20),
+       st.integers(1, 14), st.data())
+def test_hex7_parent_is_bit_prefix(points, res, data):
+    """parent id == child id with trailing digits zeroed + res rewritten —
+    the locality/prefix property every range-pruning trick relies on."""
+    from fairy_core_spark.spatial import hex7
+
+    pr = data.draw(st.integers(0, res - 1))
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    c = hex7.cell_id(lat, lon, res)
+    p = hex7.cell_to_parent(c, pr)
+    assert (hex7.cell_res(p) == pr).all()
+    drop = 42 - 3 * pr
+    mask = ((1 << 59) - 1) & ~((1 << drop) - 1)
+    assert np.array_equal(p & mask, c & mask)  # shared prefix
+    assert (p & ((1 << drop) - 1) == 0).all()  # zeroed tail
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=10),
+       st.integers(0, 11), st.data())
+def test_hex7_compact_uncompact_roundtrip_property(points, res, data):
+    from fairy_core_spark.spatial import hex7
+
+    depth = data.draw(st.integers(1, 2))
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    base = np.unique(hex7.cell_id(lat, lon, res))
+    exp = hex7.uncompact_cells(base, res + depth)
+    assert len(exp) == len(base) * 7**depth
+    assert np.array_equal(hex7.compact_cells(exp), np.sort(base))
+    # any strict subset missing one leaf cannot fully compact
+    if len(exp) > 1:
+        partial = hex7.compact_cells(exp[1:])
+        assert len(partial) > len(base) - 1
+        assert np.array_equal(hex7.uncompact_cells(partial, res + depth), np.sort(exp[1:]))
