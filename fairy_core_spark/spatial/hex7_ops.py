@@ -45,6 +45,86 @@ def hex7_parent_col(cell: Column, parent_res: int) -> Column:
     )
 
 
+def hex7_descendant_range(parent: int, res: int) -> tuple[int, int]:
+    """[lo, hi] id range covering EXACTLY the res-``res`` descendants of
+    ``parent`` — the prefix property made operational: ids at one res
+    sort all descendants of a parent contiguously, so 'inside this
+    parent' is a single BETWEEN on the cell column. lo = parent's digit
+    prefix with the res field rewritten; hi = lo with ALL bits below the
+    prefix set — valid res-``res`` ids have zero digit bits beyond slot
+    res-1, so the padding admits no foreign id, and it makes sibling
+    ranges numerically adjacent (a full sibling set merges to exactly
+    the parent's range in hex7_range_filter)."""
+    pr = (int(parent) >> 59) & 0xF
+    if not pr <= res <= MAX_RES:
+        raise ValueError(f"need parent res {pr} <= res {res} <= {MAX_RES}")
+    prefix = int(parent) & _BELOW_RES_MASK & ~((1 << (42 - 3 * pr)) - 1)
+    lo = (res << 59) | prefix
+    hi = lo | ((1 << (42 - 3 * pr)) - 1)
+    return lo, hi
+
+
+def hex7_range_filter(
+    parents, res: int, cell_col: str = "hcell", max_ranges: int = 64
+) -> Column:
+    """Pushdown-able scan predicate: cell column (encoded at ``res``) is a
+    descendant of any of ``parents`` (mixed-res iterable of hex7 ids).
+
+    OR of BETWEENs on the stored cell column — on a `cluster_by_hex7`
+    layout each BETWEEN prunes whole files/row groups via parquet footer
+    min/max before any row is read (the hexagonal sibling of
+    zorder.zrange_filter; same stored-column caveat). Numerically
+    adjacent ranges are merged (sibling ids are contiguous, so a full
+    sibling set collapses to one range); if more than ``max_ranges``
+    survive, compact the parent set first (`compact_cells`) or use
+    coarser parents — beyond ~64 ranges codegen falls back to
+    interpreted evaluation."""
+    ranges = sorted(hex7_descendant_range(int(p), res) for p in parents)
+    if not ranges:
+        raise ValueError("hex7_range_filter needs at least one parent cell")
+    merged = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if len(merged) > max_ranges:
+        raise ValueError(
+            f"{len(merged)} ranges after merging (> {max_ranges}); compact the "
+            "parent set or use coarser parents"
+        )
+    c = F.col(cell_col)
+    pred = c.between(F.lit(merged[0][0]), F.lit(merged[0][1]))
+    for lo, hi in merged[1:]:
+        pred = pred | c.between(F.lit(lo), F.lit(hi))
+    return pred
+
+
+def cluster_by_hex7(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int = 9,
+    n_partitions: int = 32,
+    cell_col: str = "hcell",
+) -> DataFrame:
+    """Range-partition + sort by hex7 cell id for spatial data skipping
+    (the hexagonal sibling of zorder.cluster_by_zorder): every output
+    partition covers a contiguous id range = a compact spatial footprint,
+    so `hex7_range_filter` predicates prune via footer stats. The cell
+    column is KEPT (stored) — pushdown needs a stored column. Unlike the
+    Z-order path the encode is one Arrow projection, but the id is
+    hierarchy-aware: any coarser-res region is one BETWEEN, no bbox
+    decomposition needed."""
+    from fairy_core_spark.spatial.ops import with_cell
+
+    return (
+        with_cell(df, lat_col, lon_col, res, out=cell_col, scheme="hex7")
+        .repartitionByRange(n_partitions, cell_col)
+        .sortWithinPartitions(cell_col)
+    )
+
+
 def explode_children(df: DataFrame, cell_col: str = "cell", out: str | None = None) -> DataFrame:
     """cellToChildren: one row per (row, child) — 7 children per cell,
     res+1, all Column bit math (digit d appended at the next digit slot,

@@ -344,3 +344,98 @@ def test_cell_to_boundary_tiles_the_plane():
                 and abs(cn[g, 0, a] - cn[g, nb, b]) < 1e-9
             )
             assert shared == 2, (g, nb, shared)
+
+
+# --- data skipping: descendant ranges + clustered layout -----------------
+
+
+def test_descendant_range_is_exactly_the_descendant_set():
+    from fairy_core_spark.spatial.hex7_ops import hex7_descendant_range
+
+    rng = np.random.default_rng(12)
+    lat, lon = rng.uniform(-80, 80, 200), rng.uniform(-180, 180, 200)
+    parents = np.unique(hex7.cell_id(lat, lon, 3))[:20]
+    universe = hex7.cell_id(
+        rng.uniform(-85, 85, 50000), rng.uniform(-180, 180, 50000), 5
+    )
+    for p in parents:
+        lo, hi = hex7_descendant_range(int(p), 5)
+        desc = set(hex7.uncompact_cells(np.array([p]), 5).tolist())
+        in_range = {int(c) for c in universe if lo <= int(c) <= hi}
+        assert in_range <= desc  # nothing foreign ever falls in the range
+        # and every enumerated descendant is inside it
+        assert all(lo <= d <= hi for d in desc)
+    # sibling ranges are numerically adjacent (so the filter merges a full
+    # set into ONE range) and their union covers exactly the parent's
+    # descendants: the parent range is wider only by the digit-7 tail,
+    # which no valid id ever occupies (digits are the 7 cosets 0..6)
+    p = int(parents[0])
+    kids = hex7.cell_to_children(np.array([p])).ravel()
+    ranges = sorted(hex7_descendant_range(int(k), 5) for k in kids)
+    assert all(ranges[i][1] + 1 == ranges[i + 1][0] for i in range(6))
+    plo, phi = hex7_descendant_range(p, 5)
+    assert ranges[0][0] == plo and ranges[-1][1] < phi
+    desc = hex7.uncompact_cells(np.array([p]), 5)
+    assert all(ranges[0][0] <= int(d) <= ranges[-1][1] for d in desc)
+
+
+def test_hex7_layout_prunes_rowgroups_at_the_scan(spark, tmp_path):
+    """Hex-hierarchical data skipping, proven at the scan metrics: the
+    same polyfill-region query reads >=8x fewer rows from parquet on a
+    cluster_by_hex7 layout than on a random layout (footer min/max on the
+    stored cell column prunes row groups)."""
+    from fairy_core_spark.spatial.hex7_ops import cluster_by_hex7, hex7_range_filter
+    from tests.test_zorder import _scan_output_rows
+
+    n = 200_000
+    pts = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    clustered, random_ = str(tmp_path / "c"), str(tmp_path / "r")
+    cluster_by_hex7(pts, res=6, n_partitions=16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(clustered)
+    from fairy_core_spark.spatial.ops import with_cell
+
+    with_cell(pts, level=6, out="hcell", scheme="hex7").repartition(16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(random_)
+
+    # region = hex7 cover of a bbox (~1.5% of the globe) at parent res 3
+    ring = np.array(
+        [[10.0, 40.0], [10.0, 55.0], [25.0, 55.0], [25.0, 40.0], [10.0, 40.0]]
+    )
+    parents = hex7.polyfill(ring, 3, mode="cover")
+    pred = hex7_range_filter(parents, res=6)
+
+    def q(path):
+        df = spark.read.parquet(path)
+        return df.where(pred).where(
+            F.col("lat").between(10.0, 25.0) & F.col("lon").between(40.0, 55.0)
+        )
+
+    a = {r["point_id"] for r in q(clustered).collect()}
+    b = {r["point_id"] for r in q(random_).collect()}
+    assert a == b and len(a) > 0
+    read_c, read_r = _scan_output_rows(q(clustered)), _scan_output_rows(q(random_))
+    assert read_c > 0
+    assert read_r >= 8 * read_c, (read_c, read_r)
+
+
+def test_hex7_range_filter_merges_and_caps():
+    from fairy_core_spark.spatial.hex7_ops import hex7_range_filter
+
+    lat = np.linspace(-60, 60, 300)
+    lon = np.linspace(-150, 150, 300)
+    parents = np.unique(hex7.cell_id(lat, lon, 4))
+    with pytest.raises(ValueError):
+        hex7_range_filter(parents, res=8, max_ranges=4)
+    with pytest.raises(ValueError):
+        hex7_range_filter([], res=8)
+    # full sibling sets collapse: 7 children -> same predicate as 1 parent
+    p = int(parents[0])
+    kids = hex7.cell_to_children(np.array([p])).ravel().tolist()
+    # full sibling sets collapse: 7 children merge into a single BETWEEN
+    hex7_range_filter(kids, res=8, max_ranges=1)  # must not raise
