@@ -189,6 +189,71 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
+def window_hashes(col: Column, n: int = 8) -> Column:
+    """POSITIONAL (non-distinct) sliding-window token-gram hashes — the
+    ordered multiset of every length-``n`` token window. Same
+    engine-portable fold as :func:`shingle_hashes` (md5-60bit token hash
+    + polynomial combine; the DuckDB oracle replays it exactly), minus
+    the dedup: the substring-duplication detector needs one entry per
+    window POSITION, not per distinct gram."""
+    th = F.transform(tokens(col), lambda t: _md5_60(t) % _MERSENNE_P)
+    acc = th
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.size(th))
+        acc = F.zip_with(acc, shifted, lambda a, b: (a * _HASH_A + b) % _MERSENNE_P)
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Windowed exact-substring duplication detector — the distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    length-``window`` token span is hashed; a span position is duplicated
+    when its hash occurs >= ``min_count`` times across the corpus
+    (within-document repeats count — boilerplate is duplication too).
+    Returns one row per input document: (id, n_windows, n_dup_windows,
+    dup_frac), docs shorter than ``window`` tokens included with zeros —
+    filter on ``dup_frac`` to drop boilerplate-heavy documents.
+
+    Scale shape: explode to (id, 8-byte window hash) -> groupBy(hash)
+    count (map-side combinable; the shuffle carries hash+count, never
+    text) -> join back on hash (AQE handles hot boilerplate hashes) ->
+    per-doc agg. No string window is ever materialized."""
+    w = df.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), window)).alias("w")
+    )
+    counts = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        w.join(counts, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 6), F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
     """array<long> of num_perm minhash values, fully native.
 

@@ -233,3 +233,31 @@ def text_features_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         quality.alias("quality"),
         lang.alias("lang_pred"),
     )
+
+
+# --- PII redaction (training-data scrubbing) -----------------------------
+
+# Pattern order is part of the contract: each class counts on the text as
+# left by the previous redaction (an email's digits can't double-count as
+# a phone). Patterns stay inside the Java-regex / RE2 common subset so the
+# DuckDB oracle replays them verbatim (no lookaround, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d -]{7,}\d"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from a text column, appending
+    per-class match counts and the redacted text (class tokens like
+    ``<email>``). Pure native regexp_count/regexp_replace — zero Python,
+    whole-stage codegen; at 100 TB this is a projection, no shuffle."""
+    cur = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    return out.withColumn(out_col, cur)

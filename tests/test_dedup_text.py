@@ -247,3 +247,62 @@ def test_connected_components_shapes(spark):
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "id_a string, id_b string")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_duplicated_spans_planted_boilerplate(spark):
+    """Docs sharing an 8-token boilerplate prefix are flagged; a unique
+    doc is not; a short doc gets zeros. Within-doc repetition counts."""
+    from pyspark.sql import functions as F
+
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, boiler + " dog alpha beta gamma delta"),
+        (2, boiler + " cat epsilon zeta eta theta"),
+        (3, "completely unique words nobody else ever wrote here today friend"),
+        (4, "tiny doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_spans(df, window=8, min_count=2).collect()
+    }
+    assert len(got) == 5
+    # docs 1/2 share the 8-token boilerplate window (exactly 1 window pos)
+    assert got[1]["n_dup_windows"] >= 1 and got[2]["n_dup_windows"] >= 1
+    assert got[3]["n_dup_windows"] == 0 and got[3]["n_windows"] == 3
+    assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+    # doc 5: every 8-token window is "rep"*8 -> all 9 positions duplicated
+    assert got[5]["n_windows"] == 9 and got[5]["n_dup_windows"] == 9
+    assert got[5]["dup_frac"] == 1.0
+
+
+def test_window_hashes_positional_vs_shingle_distinct(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b a b a b")], "id long, text string")
+    w = df.select(dedup.window_hashes(F.col("text"), 2).alias("w")).collect()[0]["w"]
+    s = df.select(dedup.shingle_hashes(F.col("text"), 2).alias("s")).collect()[0]["s"]
+    assert len(w) == 5  # positional: every adjacent pair
+    assert len(set(w)) == 2 == len(s)  # only 'a b' / 'b a' distinct
+    assert set(w) == set(s)  # same fold -> same hash values
+
+
+def test_redact_pii_classes_and_order(spark):
+    from fairy_core_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.com or 10.1.2.3 thanks"),
+        (2, "call +1 555 123 4567 now"),
+        (3, "clean text with no identifiers at all"),
+        (4, "two mails a@b.co c@d.org one ip 255.255.255.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 0
+    assert "<email>" in got[1]["redacted"] and "<ipv4>" in got[1]["redacted"]
+    assert "jane.doe" not in got[1]["redacted"] and "10.1.2.3" not in got[1]["redacted"]
+    assert got[2]["n_phone"] == 1 and "<phone>" in got[2]["redacted"]
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+    assert got[3]["redacted"] == got[3]["text"]
+    assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 1
