@@ -193,15 +193,30 @@ def window_hashes(col: Column, n: int = 8) -> Column:
     """POSITIONAL (non-distinct) sliding-window token-gram hashes — the
     ordered multiset of every length-``n`` token window. Same
     engine-portable fold as :func:`shingle_hashes` (md5-60bit token hash
-    + polynomial combine; the DuckDB oracle replays it exactly), minus
-    the dedup: the substring-duplication detector needs one entry per
-    window POSITION, not per distinct gram."""
+    + polynomial combine, identical values; the DuckDB oracle replays it
+    exactly), minus the dedup: the substring-duplication detector needs
+    one entry per window POSITION, not per distinct gram.
+
+    Built as ONE direct-index transform over the token-hash array instead
+    of the n-stage zip_with chain: the chain materializes a fresh array
+    per stage (measured 7x slower at n=8). The token-hash array is bound
+    ONCE as a lambda variable (transform over a 1-element wrapper array),
+    so its md5s are never re-evaluated per window."""
     th = F.transform(tokens(col), lambda t: _md5_60(t) % _MERSENNE_P)
-    acc = th
-    for k in range(1, n):
-        shifted = F.slice(th, k + 1, F.size(th))
-        acc = F.zip_with(acc, shifted, lambda a, b: (a * _HASH_A + b) % _MERSENNE_P)
-    return F.filter(acc, lambda x: x.isNotNull())
+
+    def _windows(tha: Column) -> Column:
+        def fold(i: Column) -> Column:
+            acc = F.element_at(tha, i + 1)
+            for k in range(1, n):
+                acc = (acc * _HASH_A + F.element_at(tha, i + 1 + k)) % _MERSENNE_P
+            return acc
+
+        return F.when(
+            F.size(tha) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tha) - n), fold),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return F.get(F.transform(F.array(th), _windows), 0)
 
 
 def duplicated_spans(
@@ -210,6 +225,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     window: int = 8,
     min_count: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Windowed exact-substring duplication detector — the distributed
     approximation of suffix-array substring dedup (Lee et al. 2022,
@@ -221,22 +237,30 @@ def duplicated_spans(
     dup_frac), docs shorter than ``window`` tokens included with zeros —
     filter on ``dup_frac`` to drop boilerplate-heavy documents.
 
-    Scale shape: explode to (id, 8-byte window hash) -> groupBy(hash)
-    count (map-side combinable; the shuffle carries hash+count, never
-    text) -> join back on hash (AQE handles hot boilerplate hashes) ->
-    per-doc agg. No string window is ever materialized."""
+    Scale shape: explode to (id, 8-byte window hash) — persisted (two
+    passes read it: the global count and the flag join; 16 bytes/row,
+    spillable; ``persist=False`` to trade memory for a recomputed fold)
+    -> groupBy(hash) count, FILTERED to duplicated keys before the join
+    (the right side shrinks to only boilerplate hashes, and AQE's
+    skew-join splits the hot ones) -> left join -> per-doc agg. No
+    string window is ever materialized."""
     w = df.select(
         F.col(id_col), F.explode(window_hashes(F.col(text_col), window)).alias("w")
     )
-    counts = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if persist:
+        w = w.persist()
+    dup_keys = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("w", F.lit(1).alias("__dup"))
+    )
     per_doc = (
-        w.join(counts, "w")
+        w.join(dup_keys, "w", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_windows"),
+            F.count("__dup").cast("long").alias("n_dup_windows"),
         )
     )
     return (

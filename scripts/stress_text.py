@@ -91,6 +91,9 @@ def main() -> int:
         run("with_text_features (columnwise)", lambda: with_text_features(docs))
     run("doc_fingerprint", lambda: docs.select("doc_id", doc_fingerprint()))
     run("dedup_exact", lambda: exact_dup_groups(docs, "text", "doc_id"))
+    from fairy_core_spark.operators.dedup import duplicated_spans
+
+    run("duplicated_spans (w=8)", lambda: duplicated_spans(docs, window=8))
     run("simhash", lambda: simhash_df(docs, "text", "doc_id"))
     run("minhash_lsh", lambda: minhash_lsh_candidates(docs, "text", "doc_id"))
     # pairwise family needs a fine block key to bound the pair blow-up:
