@@ -348,6 +348,49 @@ def grid_disk(cell: np.ndarray, k: int) -> np.ndarray:
     return ij_to_cell(ff, ii, jj, r0)
 
 
+def neighbors_geo(cell: np.ndarray) -> np.ndarray:
+    """(n, 6) GEOMETRIC neighbors: the 6 lattice-neighbor center
+    positions re-encoded through :func:`cell_id`. For interior cells this
+    is exactly the lattice ring (the center of a neighbor re-encodes to
+    itself); at a face boundary the displaced center falls on the
+    adjacent face and resolves to that face's nearest cell — geometric
+    stitching across faces. Adjacent faces' lattices do not align
+    (closing an aperture-7 icosahedral grid exactly requires H3's 12
+    pentagons + base-cell table, out of scope here — module doc delta 2),
+    so cross-face entries are nearest-cell approximations: use for
+    superset covers and ring pads, not exact ring topology."""
+    cell = np.asarray(cell, dtype=np.int64)
+    face, i, j, res = cell_to_ij(cell)
+    r0 = int(res[0]) if cell.size else 0
+    if cell.size and not np.all(res == r0):
+        raise ValueError("neighbors_geo requires all cells at one resolution")
+    units = np.array(
+        [(1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)], dtype=np.int64
+    )
+    ii = (i[:, None] + units[None, :, 0]).astype(np.float64)
+    jj = (j[:, None] + units[None, :, 1]).astype(np.float64)
+    basis = (_A0 @ _BINVPOW[r0]).T
+    xy = np.stack([ii, jj], axis=-1) @ basis
+    lat, lon = _xyz_to_ll(_inv_gnomonic(xy, face[:, None]))
+    return cell_id(lat.ravel(), lon.ravel(), r0).reshape(ii.shape)
+
+
+def disk_geo(cells: np.ndarray, k: int) -> np.ndarray:
+    """Unique cell set within k geometric-neighbor hops of ``cells``
+    (BFS over :func:`neighbors_geo`) — the face-stitching form of
+    grid_disk for cover padding: same as the lattice disk in face
+    interiors, and it follows the sphere across face boundaries."""
+    out = np.unique(np.asarray(cells, dtype=np.int64))
+    frontier = out
+    for _ in range(k):
+        nb = np.unique(neighbors_geo(frontier).ravel())
+        frontier = nb[~np.isin(nb, out)]
+        if frontier.size == 0:
+            break
+        out = np.unique(np.concatenate([out, frontier]))
+    return out
+
+
 def cell_to_children(cell: np.ndarray) -> np.ndarray:
     """Immediate children (H3's cellToChildren at res+1): append each of
     the 7 digits, rewrite res — pure bit math, (n,) -> (n, 7)."""
@@ -475,4 +518,9 @@ def polyfill(ring: np.ndarray, res: int, mode: str = "cover") -> np.ndarray:
         return cells[point_in_ring(cl, cn, ring)]
     if cells.size == 0:
         return cells
-    return np.unique(grid_disk(cells, 2).ravel())
+    # pad with BOTH the same-face lattice disk (clipped boundary cells can
+    # own points even when their centers sit past the face edge) and the
+    # geometric disk (follows the sphere onto adjacent faces) — union is
+    # a superset of each, closing face-boundary sliver holes
+    lattice = np.unique(grid_disk(cells, 2).ravel())
+    return np.unique(np.concatenate([lattice, disk_geo(cells, 2)]))

@@ -439,3 +439,68 @@ def test_hex7_range_filter_merges_and_caps():
     kids = hex7.cell_to_children(np.array([p])).ravel().tolist()
     # full sibling sets collapse: 7 children merge into a single BETWEEN
     hex7_range_filter(kids, res=8, max_ranges=1)  # must not raise
+
+
+# --- geometric (face-stitching) neighbors --------------------------------
+
+
+def test_neighbors_geo_equals_lattice_ring_in_interior():
+    rng = np.random.default_rng(13)
+    lat, lon = rng.uniform(-70, 70, 3000), rng.uniform(-180, 180, 3000)
+    c = np.unique(hex7.cell_id(lat, lon, 6))
+    ng = hex7.neighbors_geo(c)
+    ring1 = hex7.grid_disk(c, 1)[:, 1:]
+    same = np.array([set(a) == set(b) for a, b in zip(ng, ring1)])
+    # the non-equal tail is exactly the face-boundary cells
+    assert same.mean() > 0.97
+
+
+def _face_edge_midpoint():
+    d = hex7._CENTERS @ hex7._CENTERS[0]
+    adj = int(np.argsort(d)[-2])
+    mid = hex7._CENTERS[0] + hex7._CENTERS[adj]
+    mid /= np.linalg.norm(mid)
+    mlat, mlon = hex7._xyz_to_ll(mid[None, :])
+    return float(mlat[0]), float(mlon[0])
+
+
+def test_neighbors_geo_stitches_across_faces():
+    mlat, mlon = _face_edge_midpoint()
+    rng = np.random.default_rng(14)
+    box = hex7.cell_id(
+        rng.uniform(mlat - 3, mlat + 3, 5000), rng.uniform(mlon - 3, mlon + 3, 5000), 6
+    )
+    bc = np.unique(box)
+    assert len({(int(c) >> 54) & 0x1F for c in bc}) >= 2  # box straddles faces
+    ngb = hex7.neighbors_geo(bc)
+    crossers = sum(
+        1
+        for row, f in zip(ngb, (bc >> 54) & 0x1F)
+        if any(((int(x) >> 54) & 0x1F) != f for x in row)
+    )
+    assert crossers > 0
+    # disk_geo grows past the same-face clip
+    dg = hex7.disk_geo(bc, 2)
+    assert len(dg) > len(bc)
+    assert len({(int(c) >> 54) & 0x1F for c in dg}) >= 2
+
+
+def test_polyfill_cover_complete_across_face_boundary():
+    """The round-4 cover pad (lattice disk UNION geometric disk) closes
+    face-boundary sliver holes: a rect straddling an icosahedron edge
+    covers every one of 200k dense interior points."""
+    mlat, mlon = _face_edge_midpoint()
+    ring = np.array(
+        [
+            [mlat - 2.5, mlon - 2.5],
+            [mlat - 2.5, mlon + 2.5],
+            [mlat + 2.5, mlon + 2.5],
+            [mlat + 2.5, mlon - 2.5],
+            [mlat - 2.5, mlon - 2.5],
+        ]
+    )
+    cov = hex7.polyfill(ring, 5, mode="cover")
+    rng = np.random.default_rng(15)
+    pl = rng.uniform(mlat - 2.499, mlat + 2.499, 200000)
+    pn = rng.uniform(mlon - 2.499, mlon + 2.499, 200000)
+    assert np.isin(hex7.cell_id(pl, pn, 5), cov).all()
