@@ -24,7 +24,10 @@ the H3 *numbering*:
    Cells along face edges are therefore clipped by the face boundary
    instead of H3's cross-face base-cell stitching — every point still
    maps to exactly one cell, which is all binning / equi-join tiling
-   needs.
+   needs. For covers and ring pads, :func:`neighbors_geo` /
+   :func:`disk_geo` stitch across faces geometrically (neighbor centers
+   re-encoded through ``cell_id``); only exact cross-face ring TOPOLOGY
+   (true k-rings at a seam) remains out of scope.
 
 Aperture-7 math (the published lattice construction): in axial hex
 coordinates (basis vectors equal length, 60° apart — complex basis

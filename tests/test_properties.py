@@ -203,3 +203,35 @@ def test_hex7_compact_uncompact_roundtrip_property(points, res, data):
         partial = hex7.compact_cells(exp[1:])
         assert len(partial) > len(base) - 1
         assert np.array_equal(hex7.uncompact_cells(partial, res + depth), np.sort(exp[1:]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=5), min_size=0, max_size=30),
+       st.integers(2, 8))
+def test_window_hashes_matches_python_reference(spark, tokens_list, n):
+    """The direct-index window fold equals a plain-Python reference of the
+    contract (md5-60bit token hash + polynomial combine) for arbitrary
+    token lists — positions, order, and values."""
+    import hashlib
+
+    from fairy_core_spark.operators.dedup import _HASH_A, _MERSENNE_P
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    th = [md5_60(t) % _MERSENNE_P for t in tokens_list]
+    want = []
+    for i in range(max(len(th) - n + 1, 0)):
+        acc = th[i]
+        for k in range(1, n):
+            acc = (acc * _HASH_A + th[i + k]) % _MERSENNE_P
+        want.append(acc)
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.operators.dedup import window_hashes
+
+    df = spark.createDataFrame(pd.DataFrame({"text": [" ".join(tokens_list)]}))
+    got = df.select(window_hashes(F.col("text"), n).alias("w")).collect()[0]["w"]
+    assert got == want
