@@ -53,6 +53,7 @@ def main() -> int:
     from fairy_core_spark.spatial.ops import (
         knn_join,
         spatial_join_broadcast,
+        spatial_join_cells,
         with_cell,
     )
 
@@ -79,6 +80,15 @@ def main() -> int:
         "pip_join_broadcast",
         lambda: spatial_join_broadcast(
             pts.withColumn("pid", F.col("pid").cast("string")), polys, id_col="pid"
+        ),
+    )
+
+    run("hex7_encode_r7", lambda: with_cell(pts, level=7, scheme="hex7"))
+    run(
+        "hex7_pip_join_cells",
+        lambda: spatial_join_cells(
+            pts.withColumn("pid", F.col("pid").cast("string")), polys,
+            id_col="pid", level=3, scheme="hex7",
         ),
     )
 
