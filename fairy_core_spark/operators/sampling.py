@@ -95,3 +95,53 @@ def stratified_hash_sample(
     thresh = thresh.otherwise(int(round(default * _BUCKETS))) if thresh is not None \
         else F.lit(int(round(default * _BUCKETS)))
     return df.where(bucket < thresh)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    salt: str = "",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Deterministic per-group quota sampling — the web-pipeline
+    "cap documents per domain" operator: keep at most ``quota`` rows per
+    ``group_col`` value, chosen by ascending md5(salt || key) with the
+    key as tie-break. Hash ranking makes the kept set content-stable
+    (same rows survive every run/backfill/engine — F.rand() caps shift
+    with partitioning) and unbiased w.r.t. input order.
+
+    Scale shape: ONE window shuffle on the group key; AQE's skew handling
+    applies to hot domains, and because rank only needs the top
+    ``quota``, Spark's WindowGroupLimit pushes the rank<=k filter into a
+    partial top-k before the shuffle on recent versions. The DuckDB
+    oracle replays the exact hash + ROW_NUMBER arithmetic."""
+    from pyspark.sql import Window
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    salted = (
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__qs_rank", F.row_number().over(w))
+    kept = ranked.where(F.col("__qs_rank") <= quota)
+    if keep_rank:
+        return kept.withColumnRenamed("__qs_rank", "sample_rank")
+    return kept.drop("__qs_rank")
+
+
+def quota_sample_sql(table: str, group: str, key: str, quota: int, salt: str = "") -> str:
+    """DuckDB replay of :func:`quota_sample` (oracle building block)."""
+    expr = f"'{salt}' || CAST({key} AS VARCHAR)" if salt else f"CAST({key} AS VARCHAR)"
+    return f"""
+    SELECT * EXCLUDE (__h, __r) FROM (
+      SELECT *, ('0x' || substring(md5({expr}), 1, 15))::BIGINT AS __h,
+             ROW_NUMBER() OVER (PARTITION BY {group} ORDER BY __h ASC, {key} ASC) AS __r
+      FROM {table}
+    ) WHERE __r <= {quota}
+    """

@@ -53,3 +53,28 @@ def test_stratified_proportions(spark, docs):
     # stratum not in the map and default=0 -> dropped entirely
     none_kept = stratified_hash_sample(docs, "doc_id", "source", {"web": 0.5})
     assert none_kept.where(F.col("source") == "curated").count() == 0
+
+
+def test_quota_sample_caps_and_is_partition_invariant(spark, docs):
+    from fairy_core_spark.operators.sampling import quota_sample
+
+    kept = quota_sample(docs, "source", "doc_id", 5)
+    per = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # deterministic and partition-invariant: same kept set at any layout
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in quota_sample(docs.repartition(17), "source", "doc_id", 5).collect()
+    }
+    assert a == b and len(a) > 0
+    # salt rotates the kept set; quota=huge keeps everything; rank exposed
+    c = {r["doc_id"] for r in quota_sample(docs, "source", "doc_id", 5, salt="v2").collect()}
+    assert c != a
+    assert quota_sample(docs, "source", "doc_id", 10**6).count() == docs.count()
+    ranked = quota_sample(docs, "source", "doc_id", 5, keep_rank=True)
+    assert ranked.where(F.col("sample_rank") > 5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quota_sample(docs, "source", "doc_id", 0)
