@@ -275,6 +275,85 @@ def duplicated_spans(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """WITHIN-document repetition statistics (the Gopher-style repetition
+    quality filters): per doc, the total / distinct window counts, the
+    repeated-window fraction, and the most-frequent window's share.
+    High ``dup_window_frac`` or ``top_window_frac`` = looping/boilerplate
+    text. Unlike :func:`duplicated_spans` (corpus-global) this needs no
+    cross-document state: one explode + two doc-keyed aggregations —
+    both shuffles carry (id, 8-byte hash) and partial-aggregate."""
+    w = df.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), window)).alias("w")
+    )
+    per_window = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
+    stats = per_window.groupBy(id_col).agg(
+        F.sum("m").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_distinct_windows"),
+        F.max("m").alias("top_m"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_distinct_windows", F.lit(0)).alias("n_distinct_windows"),
+            F.coalesce(
+                F.round(
+                    (F.col("n_windows") - F.col("n_distinct_windows"))
+                    / F.col("n_windows"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("dup_window_frac"),
+            F.coalesce(
+                F.round(F.col("top_m") / F.col("n_windows"), 6), F.lit(0.0)
+            ).alias("top_window_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination (eval-overlap removal): drop — or flag,
+    ``mode="flag"`` — every training document sharing ANY length-
+    ``window`` token span with any benchmark document (the n-gram-overlap
+    decontamination used for LLM training corpora).
+
+    Plan: benchmark windows -> distinct hash set (tiny next to the
+    corpus; Spark broadcasts it under AQE) -> semi-join against the
+    exploded train windows -> distinct contaminated ids -> anti-join
+    (or a left + flag). Train text never shuffles; the heavy side moves
+    only (id, 8-byte hash)."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"unknown mode {mode!r}; one of ['drop', 'flag']")
+    bench_w = benchmark.select(
+        F.explode(window_hashes(F.col(text_col), window)).alias("w")
+    ).distinct()
+    train_w = train.select(
+        F.col(id_col), F.explode(window_hashes(F.col(text_col), window)).alias("w")
+    )
+    contaminated = train_w.join(bench_w, "w", "left_semi").select(id_col).distinct()
+    if mode == "drop":
+        return train.join(contaminated, id_col, "left_anti")
+    return train.join(
+        contaminated.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).fillna(False, ["contaminated"])
+
+
 def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
     """array<long> of num_perm minhash values, fully native.
 

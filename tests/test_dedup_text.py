@@ -306,3 +306,42 @@ def test_redact_pii_classes_and_order(spark):
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
     assert got[3]["redacted"] == got[3]["text"]
     assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 1
+
+
+def test_repetition_stats_within_doc(spark):
+    rows = [
+        (1, "rep rep rep rep rep rep"),  # 4 windows of 3, all identical
+        (2, "one two three four five six"),  # 4 windows, all distinct
+        (3, "ab"),  # shorter than the window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.repetition_stats(df, window=3).collect()}
+    assert got[1]["n_windows"] == 4 and got[1]["n_distinct_windows"] == 1
+    assert got[1]["dup_window_frac"] == 0.75 and got[1]["top_window_frac"] == 1.0
+    assert got[2]["n_windows"] == 4 and got[2]["dup_window_frac"] == 0.0
+    assert got[2]["top_window_frac"] == 0.25
+    assert got[3]["n_windows"] == 0 and got[3]["top_window_frac"] == 0.0
+
+
+def test_decontaminate_drops_exactly_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix text the secret benchmark answer is forty two suffix"),
+            (2, "nothing in common with any benchmark document at all here"),
+            (3, "the secret benchmark words but differently ordered answer"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.decontaminate(train, bench, window=5)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+    flagged = dedup.decontaminate(train, bench, window=5, mode="flag")
+    got = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: False}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.decontaminate(train, bench, mode="bogus")
