@@ -261,3 +261,43 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
         )
         cur = F.regexp_replace(cur, pat, f"<{name}>")
     return out.withColumn(out_col, cur)
+
+
+# --- URL canonicalization (web-corpus keying) ----------------------------
+
+
+def url_domain(col: Column) -> Column:
+    """Lowercased host of a URL (no userinfo, no port). Registered-domain
+    (public-suffix) splitting needs the PSL data file — not shipped here;
+    the full host is the documented key. Empty string when no host."""
+    host = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    return F.lower(host)
+
+
+def canonical_url(col: Column) -> Column:
+    """Deterministic URL canonicalization for dedup/quota keying. The
+    exact step list is the contract (replayed verbatim by the DuckDB
+    oracle; regexes in the Java/RE2 common subset):
+
+    1. strip the fragment;
+    2. lowercase the scheme://authority prefix (path/query case kept);
+    3. drop default ports (http:80, https:443);
+    4. drop ``utm_*`` tracking params, sort the rest byte-wise, and drop
+       the '?' when nothing survives.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    rest = F.substr(u, F.length(head) + F.lit(1))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", r"$1")
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head, path, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))
+    )

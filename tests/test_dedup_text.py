@@ -345,3 +345,27 @@ def test_decontaminate_drops_exactly_overlapping_docs(spark):
 
     with _pytest.raises(ValueError):
         dedup.decontaminate(train, bench, mode="bogus")
+
+
+def test_canonical_url_contract(spark):
+    from fairy_core_spark.operators.text import canonical_url, url_domain
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/To?utm_source=x&b=2&a=1#frag":
+            ("https://www.example.com/Path/To?a=1&b=2", "www.example.com"),
+        "http://Site.org:80/": ("http://site.org/", "site.org"),
+        "http://site.org:8080/x?z=1": ("http://site.org:8080/x?z=1", "site.org"),
+        "https://user:pw@Host.Net/path": ("https://user:pw@host.net/path", "host.net"),
+        "ftp://Files.example/a?b=1&utm_campaign=c": ("ftp://files.example/a?b=1", "files.example"),
+        "https://a.b/?utm_source=only": ("https://a.b/", "a.b"),
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: (r["c"], r["d"])
+        for r in df.select(
+            "u",
+            canonical_url(F.col("u")).alias("c"),
+            url_domain(F.col("u")).alias("d"),
+        ).collect()
+    }
+    assert got == cases
