@@ -137,6 +137,11 @@ def explode_children(df: DataFrame, cell_col: str = "cell", out: str | None = No
     child = new_res.bitwiseOR(base).bitwiseOR(
         F.expr(f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned({cell_col}, 59) & 15) AS INT))")
     )
+    # a res-14 cell has no digit slot left — fail loudly like the numpy
+    # twin (a negative shift would otherwise fabricate garbage ids)
+    child = F.when(res >= MAX_RES, F.raise_error(
+        F.lit(f"cell_to_children beyond MAX_RES={MAX_RES}")
+    ).cast("long")).otherwise(child)
     return exploded.withColumn(out, child).drop("__h7_d")
 
 

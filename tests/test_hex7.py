@@ -504,3 +504,12 @@ def test_polyfill_cover_complete_across_face_boundary():
     pl = rng.uniform(mlat - 2.499, mlat + 2.499, 200000)
     pn = rng.uniform(mlon - 2.499, mlon + 2.499, 200000)
     assert np.isin(hex7.cell_id(pl, pn, 5), cov).all()
+
+
+def test_explode_children_rejects_max_res(spark):
+    from fairy_core_spark.spatial.hex7_ops import explode_children
+
+    c = int(hex7.cell_id(np.array([10.0]), np.array([20.0]), 14)[0])
+    df = spark.createDataFrame([(c,)], "cell long")
+    with pytest.raises(Exception, match="MAX_RES"):
+        explode_children(df, "cell").collect()
