@@ -152,6 +152,17 @@ class ParquetDirCatalog:
         with open(os.path.join(self._dir(name), "_snapshot.json")) as f:
             return json.load(f)
 
+    def row_count(self, name: str) -> int:
+        """Exact row count from table metadata — parquet footers, no data
+        scan (the Iceberg-manifest analog). Snapshots written by this class
+        carry it precomputed; older snapshots fall back to a footer walk.
+        Feed this to operators that otherwise pay a count() action for a
+        sizing decision (e.g. ``knn_join(n_points=...)``)."""
+        snap = self.snapshot(name)
+        if "rows" in snap:
+            return int(snap["rows"])
+        return parquet_row_count(os.path.join(self._dir(name), "data"))
+
     def write(
         self,
         df: DataFrame,
@@ -169,6 +180,7 @@ class ParquetDirCatalog:
             "table": name,
             "snapshot_id": table_fingerprint(data_dir),
             "partition_by": partition_by or [],
+            "rows": parquet_row_count(data_dir),
         }
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "_snapshot.json"), "w") as f:
@@ -184,6 +196,20 @@ class ParquetDirCatalog:
                 if "=" in dn:
                     out.append(os.path.relpath(os.path.join(root, dn), data_dir))
         return sorted(out)
+
+
+def parquet_row_count(data_dir: str) -> int:
+    """Sum of num_rows over every parquet footer under ``data_dir`` —
+    metadata-only (footers are a few KB regardless of file size), the way a
+    table format answers COUNT(*) from manifests instead of a scan."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
 
 
 def write_bucketed(

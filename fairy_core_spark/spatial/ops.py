@@ -330,6 +330,23 @@ def choose_knn_level(n_points: int, k: int) -> int:
     return max(0, min(16, int(math.log(target, 4))))
 
 
+def _plan_row_estimate(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for ``df``'s optimized plan, or None.
+
+    Present for free on parquet scans with footer statistics (and anywhere
+    CBO stats propagate); avoids a full count() when the caller only needs
+    an order of magnitude. Best-effort: any Py4J/analysis hiccup -> None.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -340,6 +357,7 @@ def knn_join(
     lon_col: str = "lon",
     level: int | None = None,
     max_rounds: int = 4,
+    n_points: int | None = None,
 ) -> DataFrame:
     """Grid-partitioned kNN with cell-ring expansion (north-rule op).
 
@@ -351,9 +369,21 @@ def knn_join(
     to a brute-force join (guaranteed exactness; with the density-adaptive
     level this is a vanishing fraction). Output: (query_id, neighbor_id,
     distance_m, rank) — exact kNN, ties broken by neighbor id.
+
+    ``level`` selection needs only an order-of-magnitude point count (a 4x
+    miss shifts the grid one level; ring expansion absorbs it), so when
+    ``level`` is None the count comes from, in order: the ``n_points`` hint
+    (pass table/snapshot metadata here — e.g. ParquetDirCatalog.row_count
+    row counts — instead of paying a scan), Catalyst's optimized-plan row
+    estimate when available, and only then a real ``count()`` — at 100 TB
+    the old unconditional count() was one full extra scan per call.
     """
     if level is None:
-        level = choose_knn_level(points.count(), k)
+        if n_points is None:
+            n_points = _plan_row_estimate(points)
+        if n_points is None:
+            n_points = points.count()
+        level = choose_knn_level(n_points, k)
     pts = (
         with_cell(points.select(F.col(id_col).alias("nid"), lat_col, lon_col),
                   lat_col, lon_col, level)
