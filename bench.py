@@ -13,6 +13,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import shutil
 import sys
@@ -37,6 +38,56 @@ HEADLINE = [
     "spatial_pip_join",
     "spatial_cell_encode",
 ]
+
+
+# Host memory-bandwidth probe (same pure-numpy memcpy as
+# scripts/scaling_bench.py): round 4's official number was poisoned by a
+# disclosed-but-not-machine-readable co-tenant window (19.8s pipeline vs
+# 9.1s judge re-run). The probe readings now ride INSIDE the result JSON so
+# a contaminated run is detectable from the artifact alone, and a clearly
+# contended window is retried once before measuring.
+PROBE_PROCS = 4
+PROBE_CLEAN_GBS = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN_GBS", "30.0"))
+PROBE_OK_FRACTION = 0.6  # below 60% of the clean reading => contended
+
+
+def _membw_gbs(nproc: int = PROBE_PROCS, secs: float = 1.5) -> float:
+    """Aggregate memcpy GB/s over nproc processes (BENCH/BASELINE.md probe
+    convention: 4 procs; clean host reads ~25-30, co-tenant windows 8-20)."""
+    import numpy as np
+
+    def churn(q):
+        src = np.frombuffer(np.random.bytes(64 * 1024 * 1024), dtype=np.uint8)
+        dst = np.empty_like(src)
+        t_end = time.monotonic() + secs
+        n = 0
+        while time.monotonic() < t_end:
+            np.copyto(dst, src)
+            n += 1
+        q.put(n * 64 / 1024)
+
+    q: multiprocessing.Queue = multiprocessing.Queue()
+    ps = [multiprocessing.Process(target=churn, args=(q,)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(tot / secs, 1)
+
+
+def _load_query_baselines() -> dict:
+    """Frozen clean-window per-query seconds (BENCH/QUERY_BASELINES.json) so
+    '>2x its baseline' is machine-checkable per round instead of
+    judge-reconstructed from prior BENCH_r*.json files."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "QUERY_BASELINES.json"
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return {}
 
 
 def _bulk_cell_encode(spark, sf_dir: str):
@@ -109,6 +160,16 @@ def main() -> int:
     from fairy_core_spark.queries import queries as load_queries
     from fairy_core_spark.session import get_spark
 
+    # contended-window guard: probe BEFORE Spark exists; if the host bus is
+    # clearly co-tenanted, wait once and re-probe rather than emitting a
+    # poisoned official number (round-4 lesson).
+    probe_pre = _membw_gbs()
+    probe_retried = False
+    if probe_pre < PROBE_OK_FRACTION * PROBE_CLEAN_GBS:
+        probe_retried = True
+        time.sleep(float(os.environ.get("SPARK_GRAFT_PROBE_RETRY_SECS", "45")))
+        probe_pre = _membw_gbs()
+
     spark = get_spark(
         app_name="fairy-bench",
         master=f"local[{cpus}]",
@@ -131,7 +192,14 @@ def main() -> int:
         total += dt
 
     pipe = run_image_pipeline(spark, n_images)
+    probe_post = _membw_gbs()
 
+    baselines = _load_query_baselines()
+    ratios = {
+        q: round(per_query[q] / baselines[q], 2)
+        for q in per_query
+        if baselines.get(q)
+    }
     out = {
         "metric": "e2e_headline_seconds",
         "value": round(total, 3),
@@ -142,6 +210,16 @@ def main() -> int:
         "pipeline_sec": pipe["pipeline_sec"],
         "n_images": n_images,
         "cpus": cpus,
+        # machine-readable noise guard (BENCH/BASELINE.md probe convention)
+        "probe_pre_gbs": probe_pre,
+        "probe_post_gbs": probe_post,
+        "probe_clean_gbs": PROBE_CLEAN_GBS,
+        "probe_retried": probe_retried,
+        "contended": min(probe_pre, probe_post) < PROBE_OK_FRACTION * PROBE_CLEAN_GBS,
+        # per-query ratio vs frozen clean-window baselines (>2.0 = regression
+        # OR contention; read next to the probe fields)
+        "query_baseline_ratio": ratios,
+        "regressions": sorted(q for q, r in ratios.items() if r > 2.0),
     }
     line = json.dumps(out, sort_keys=True)
 

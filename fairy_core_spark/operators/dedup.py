@@ -576,17 +576,27 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # the keep test uses the UNROUNDED jaccard (matching the DuckDB oracle
+    # and the prefix theorem, which bounds TRUE jaccard); the output column
+    # stays 6dp-rounded (the cross-engine value contract). Comparing the
+    # rounded value would admit pairs with true J in [t - 5e-7, t) that the
+    # prefix path is allowed to never generate.
     out_cols = (
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         F.round(jac, 6).alias("jaccard"),
     )
+    if prefilter == "prefix" and threshold <= 0.0:
+        # prefix length |s| - ceil(0) + 1 would be |s| + 1 and, worse, an
+        # empty token set yields NO prefix row at all while J(empty, empty)
+        # pairs are kept at t = 0 — the theorem needs t > 0, so fall back
+        prefilter = "none"
     if prefilter == "none":
         a, b = base.alias("a"), base.alias("b")
         return (
             a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+            .where(jac >= threshold)
             .select(*out_cols)
-            .where(F.col("jaccard") >= threshold)
         )
     if prefilter != "prefix":
         raise ValueError(f"prefilter must be 'prefix' or 'none', got {prefilter!r}")
@@ -616,12 +626,12 @@ def ngram_jaccard_pairs(
     return (
         cand.join(a, "cid_a")
         .join(b, "cid_b")
+        .where(jac_c >= threshold)
         .select(
             F.col("cid_a").alias("id_a"),
             F.col("cid_b").alias("id_b"),
             F.round(jac_c, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -61,7 +61,19 @@ def north_pipeline(
         valid.join(g, "image_id"), "lat", "lon", level, out="tile_id", scheme=cell_scheme
     )
     annotated = spatial_annotate_broadcast(encoded, polygons_pdf)
-    prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - PREFIX_BITS)
+    # The repartition key must be a SPATIAL prefix with enough distinct
+    # values to spread n_partitions. For s2 the id is a Hilbert-style
+    # bitstring, so the top PREFIX_BITS bits work. hex7 ids are field-packed
+    # (sign|res|face|i0|j0|digits...): the top 12 bits are sign + constant
+    # res + face + 2 bits of i0 — ~20-40 distinct keys no matter the data,
+    # a parallelism cliff. Its spatial prefix is instead "ancestor at a
+    # coarser res": drop the trailing digits, keep res|face|i0|j0 plus two
+    # aperture-7 digits (bit 36 boundary) — up to 49 keys per occupied
+    # res-0 cell, clustered exactly like a parent rollup.
+    if cell_scheme == "hex7":
+        prefix = F.shiftrightunsigned(F.col("tile_id"), 36)
+    else:
+        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - PREFIX_BITS)
     if n_partitions is None:
         n_partitions = images.sparkSession.sparkContext.defaultParallelism * 2
     tiled = annotated.withColumn("tile_prefix", prefix).repartition(

@@ -215,7 +215,16 @@ def ij_to_cell(face: np.ndarray, i: np.ndarray, j: np.ndarray, res: int) -> np.n
         pj = pj + _CORR_DJ[ri + _CORR_RANGE, rj + _CORR_RANGE]
         digits[..., r - 1] = _CORR_DIGIT[ri + _CORR_RANGE, rj + _CORR_RANGE]
         ci, cj = pi, pj
-    i0, j0 = np.clip(ci, -32, 31), np.clip(cj, -32, 31)
+    # res-0 coords must fit the 6-bit cell-id fields; clipping here would
+    # silently alias an out-of-range lattice point (reachable via public
+    # ij_to_cell/grid_disk inputs) to a WRONG cell id — fail loud instead,
+    # matching explode_children's MAX_RES convention.
+    if bool(np.any((ci < -32) | (ci > 31) | (cj < -32) | (cj > 31))):
+        raise ValueError(
+            "res-0 axial coords out of the 6-bit cell-id range [-32, 31]: "
+            "input (face, i, j) does not name a lattice point of this face"
+        )
+    i0, j0 = ci, cj
     out = (np.int64(res) << np.int64(59)) | (face << np.int64(54))
     out = out | ((i0 + 32) << np.int64(48)) | ((j0 + 32) << np.int64(42))
     for k in range(res):
@@ -491,12 +500,25 @@ def polyfill(ring: np.ndarray, res: int, mode: str = "cover") -> np.ndarray:
     at 1/3 of the worst-case ground inradius, inside-samples' cells
     padded with grid_disk(2) (prefilter covering for equi-join + exact
     refine; over-cover is harmless there, and the refine restores
-    exactness). Driver-side numpy for broadcast-scale polygons."""
+    exactness). Driver-side numpy for broadcast-scale polygons.
+
+    Contract (validated): the ring must NOT cross the antimeridian or
+    enclose a pole — the sample grid derives from the raw lat/lon bbox, so
+    a ring whose lon span only "wraps" through ±180° would be sampled over
+    the wrong (huge) span and silently under-covered (or trip the sample
+    cap). Split such rings at the antimeridian before calling (the same
+    contract as the ray-cast refine in functions/geometry.py). Rings wider
+    than 180° of longitude are rejected as indistinguishable from a wrap."""
     from fairy_core_spark.functions.geometry import point_in_ring
 
     if mode not in ("centers", "cover"):
         raise ValueError(f"unknown polyfill mode {mode!r}")
     ring = np.asarray(ring, dtype=np.float64)
+    if ring[:, 1].max() - ring[:, 1].min() > 180.0:
+        raise ValueError(
+            "ring spans >180 deg of longitude — antimeridian-crossing or "
+            "pole-enclosing rings are not supported; split at +-180 first"
+        )
     lat0, lat1 = ring[:, 0].min(), ring[:, 0].max()
     lon0, lon1 = ring[:, 1].min(), ring[:, 1].max()
     # worst-case gnomonic stretch within a face is bounded by ~2x for the

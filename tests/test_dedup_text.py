@@ -55,6 +55,39 @@ def test_ngram_jaccard_blocked(spark, docs):
     assert (1, 4) not in got  # exact dup but different block -> not compared
 
 
+def test_ngram_jaccard_prefix_equals_none_at_zero_threshold(spark, docs):
+    """t=0 edge: the prefix theorem needs t > 0 (and empty-token docs have
+    no prefix row at all), so prefilter='prefix' must fall back to the
+    plain block join and return the identical pair set — including pairs
+    involving empty docs."""
+    none = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", threshold=0.0, prefilter="none"
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", threshold=0.0, prefilter="prefix"
+        ).collect()
+    }
+    assert pref == none and len(none) > 0
+
+
+def test_ngram_jaccard_prefix_equals_none_at_half(spark, docs):
+    for pf in ("none", "prefix"):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", "source", threshold=0.5, prefilter=pf
+            ).collect()
+        }
+        if pf == "none":
+            want = got
+    assert got == want
+
+
 def test_simhash_locality(spark, docs):
     rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs, "text", "doc_id").collect()}
     from fairy_core_spark.functions.phash import hamming64
