@@ -421,6 +421,7 @@ def minhash_lsh_candidates(
     n_bands: int = 4,
     shingle_n: int = 3,
     persist: bool = True,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
     rows-per-band = num_perm/n_bands; similarity threshold ~ (1/b)^(1/r).
@@ -429,7 +430,20 @@ def minhash_lsh_candidates(
     self-join (without it the whole signature pipeline executes twice —
     measured 2x wall). The cache is released by Spark's ContextCleaner
     once the returned DataFrame is garbage-collected; long-lived sessions
-    issuing many calls can pass persist=False or clear explicitly."""
+    issuing many calls can pass persist=False or clear explicitly.
+
+    ``hot_bucket_cap`` is the 100 TB skew guard: one degenerate bucket of
+    width W (boilerplate, near-empty docs sharing a signature) emits W²/2
+    pairs — AQE splits the *shuffle partition* but nothing bounds the
+    *output*. With a cap, buckets wider than it emit a STAR instead of the
+    clique: every member paired with the bucket's minimum id (W-1 rows,
+    linear). Star and clique have identical connectivity, so every
+    connected-components consumer (dup_groups / corpus_clean keeper
+    selection) gets byte-identical groups; only the raw pair *listing*
+    shrinks, which is why the default (None = exact clique) stays the gate
+    contract. Width accounting shares the join's own (band, bucket) hash
+    partitioning — one extra window pass over the persisted banded frame,
+    no new shuffle shape."""
     assert num_perm % n_bands == 0
     r = num_perm // n_bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_perm, shingle_n)
@@ -454,6 +468,21 @@ def minhash_lsh_candidates(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     if persist:
         banded = banded.persist()
+    if hot_bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("bw", F.count(F.lit(1)).over(w))
+        if persist:
+            sized = sized.persist()
+        banded = sized.where(F.col("bw") <= hot_bucket_cap).drop("bw")
+        hot = sized.where(F.col("bw") > hot_bucket_cap).drop("bw")
+        star_center = hot.groupBy("band", "bucket").agg(F.min("id").alias("id_a"))
+        star = (
+            hot.join(star_center, ["band", "bucket"])
+            .where(F.col("id") > F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -464,9 +493,10 @@ def minhash_lsh_candidates(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if hot_bucket_cap is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 _MIN_LONG = -9223372036854775808

@@ -267,11 +267,57 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
 
 
 def url_domain(col: Column) -> Column:
-    """Lowercased host of a URL (no userinfo, no port). Registered-domain
-    (public-suffix) splitting needs the PSL data file — not shipped here;
-    the full host is the documented key. Empty string when no host."""
+    """Lowercased host of a URL (no userinfo, no port). Empty string when
+    no host. For the production quota/dedup key use
+    :func:`registered_domain` on top of this — ``sub.example.com`` and
+    ``example.com`` must share a key."""
     host = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
     return F.lower(host)
+
+
+def registered_domain(host: Column) -> Column:
+    """PSL registered domain of a lowercased host Column: longest matching
+    public suffix (data/public_suffixes.py, trimmed PSL snapshot shipped as
+    data) plus one label; PSL default rule (suffix = last label -> last two
+    labels) when no multi-label suffix matches; hosts with no dot (or equal
+    to a suffix) pass through. Pure native ops — label slicing + literal
+    IN-set probes compiled per suffix length, zero Python. This is the
+    web-corpus grouping key: per-domain quotas on the full host would count
+    every *.blogspot.com blog as one domain's traffic split into millions,
+    and every wiki subdomain as separate domains."""
+    from fairy_core_spark.data.public_suffixes import suffixes_by_labels
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def tail(cnt: int) -> Column:  # last `cnt` labels, start clamped to 1
+        # (slice start 0 raises; under-long hosts are rejected by the n
+        # guards, the clamp only keeps the dead branch evaluable)
+        return F.array_join(
+            F.slice(labels, F.greatest(n - cnt + 1, F.lit(1)), F.lit(cnt)), "."
+        )
+
+    out = F.when(n >= 2, tail(2)).otherwise(host)
+    # longest match wins: probe 3-label suffixes before 2-label ones
+    for k, sufs in suffixes_by_labels().items():  # descending label count
+        out = F.when((n >= k + 1) & tail(k).isin(sufs), tail(k + 1)).otherwise(out)
+    return out
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """DuckDB replay of :func:`registered_domain` (same suffix snapshot,
+    same longest-match-then-+1-label arithmetic) for oracle parity."""
+    from fairy_core_spark.data.public_suffixes import suffixes_by_labels
+
+    e = f"str_split(({host_expr}), '.')"
+    out = f"CASE WHEN len({e}) >= 2 THEN array_to_string({e}[-2:], '.') ELSE ({host_expr}) END"
+    for k, sufs in suffixes_by_labels().items():
+        lits = ", ".join(f"'{s}'" for s in sufs)
+        out = (
+            f"CASE WHEN len({e}) >= {k + 1} AND array_to_string({e}[-{k}:], '.') "
+            f"IN ({lits}) THEN array_to_string({e}[-{k + 1}:], '.') ELSE ({out}) END"
+        )
+    return out
 
 
 def canonical_url(col: Column) -> Column:

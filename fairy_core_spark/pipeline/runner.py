@@ -45,9 +45,13 @@ class Stage:
 
 
 class PipelineRunner:
-    def __init__(self, spark: SparkSession, out_dir: str):
+    def __init__(self, spark: SparkSession, out_dir: str, catalog: ParquetDirCatalog | None = None):
         self.spark = spark
-        self.catalog = ParquetDirCatalog(out_dir)
+        # resume/lineage bind ONLY to this interface (read/write/exists/
+        # snapshot) — swapping in an Iceberg-backed catalog (snapshot ids
+        # from commit metadata, sources/tables.IcebergLikeCatalog shape)
+        # changes nothing else in the runner.
+        self.catalog = catalog if catalog is not None else ParquetDirCatalog(out_dir)
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         # NOTE: no leading underscore — Spark readers treat _-prefixed files

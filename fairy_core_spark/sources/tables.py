@@ -198,6 +198,47 @@ class ParquetDirCatalog:
         return sorted(out)
 
 
+class IcebergLikeCatalog(ParquetDirCatalog):
+    """ParquetDirCatalog whose snapshot ids are table-METADATA commit
+    sequence numbers — the Iceberg identity model — instead of data-file
+    hashes.
+
+    This is the in-sandbox exercise of the Iceberg seam: everything that
+    consumes a catalog (PipelineRunner resume fingerprints, dataset-id
+    attestation inputs) binds to ``snapshot()["snapshot_id"]``, so proving
+    resume semantics against ids that change per *commit* (not per byte
+    content) demonstrates the exact behavior a real Iceberg catalog would
+    produce. On a real deployment this class maps to
+    ``spark.table(name)`` + the ``name.snapshots`` metadata table (newest
+    ``snapshot_id``), enabled by the iceberg-spark-runtime ``--packages``
+    jar — no engine change needed (the runner never looks at files, only
+    at this interface).
+
+    ``set_snapshot_id`` lets tests simulate an upstream commit (a new
+    snapshot pointing at possibly-identical data): consumers MUST treat the
+    input as changed, exactly like Iceberg's time-travel identity.
+    """
+
+    def write(self, df, name, partition_by=None, mode="overwrite"):
+        prev_seq = -1
+        if self.exists(name):
+            prev = self.snapshot(name)
+            sid = str(prev.get("snapshot_id", ""))
+            if sid.startswith("commit-"):
+                prev_seq = int(sid.split("-", 1)[1])
+        snap = super().write(df, name, partition_by=partition_by, mode=mode)
+        snap["snapshot_id"] = f"commit-{prev_seq + 1}"
+        with open(os.path.join(self._dir(name), "_snapshot.json"), "w") as f:
+            json.dump(snap, f, sort_keys=True, indent=2)
+        return snap
+
+    def set_snapshot_id(self, name: str, snapshot_id: str) -> None:
+        snap = self.snapshot(name)
+        snap["snapshot_id"] = snapshot_id
+        with open(os.path.join(self._dir(name), "_snapshot.json"), "w") as f:
+            json.dump(snap, f, sort_keys=True, indent=2)
+
+
 def parquet_row_count(data_dir: str) -> int:
     """Sum of num_rows over every parquet footer under ``data_dir`` —
     metadata-only (footers are a few KB regardless of file size), the way a

@@ -96,6 +96,31 @@ def main() -> int:
     run("duplicated_spans (w=8)", lambda: duplicated_spans(docs, window=8))
     run("simhash", lambda: simhash_df(docs, "text", "doc_id"))
     run("minhash_lsh", lambda: minhash_lsh_candidates(docs, "text", "doc_id"))
+
+    # planted hot bucket: 20k byte-identical docs share every LSH band ->
+    # one bucket would emit ~2x10^8 clique pairs. The hot_bucket_cap guard
+    # must keep the run bounded (star pairs, linear in bucket width) — this
+    # is the 100 TB degenerate-boilerplate scenario.
+    n_hot = min(20_000, max(n // 50, 1_000))
+    hot = spark.range(n_hot).selectExpr(
+        "id + 1000000000 AS doc_id", "'identical boilerplate body text' AS text"
+    )
+    poisoned = docs.select("doc_id", "text").unionByName(hot).repartition(64).cache()
+    poisoned.count()
+    t0 = time.monotonic()
+    capped_pairs = minhash_lsh_candidates(
+        poisoned, "text", "doc_id", hot_bucket_cap=256
+    )
+    n_pairs = capped_pairs.count()
+    dt = time.monotonic() - t0
+    bound = (n_hot - 1) * 2 + 400_000  # star rows (pre-distinct x bands) + organic residue
+    results["minhash_lsh hot-bucket (cap=256)"] = {
+        "sec": round(dt, 2),
+        "pairs": n_pairs,
+        "bounded": n_pairs <= bound,
+    }
+    print("minhash_lsh hot-bucket (cap=256)", results["minhash_lsh hot-bucket (cap=256)"])
+    poisoned.unpersist()
     # pairwise family needs a fine block key to bound the pair blow-up:
     # ~100 docs/block -> ~5k pairs/block, realistic for a post-LSH refine.
     # The 20-word corpus is DENSE (every pair is a true >=0.5 dup — the run

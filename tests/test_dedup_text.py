@@ -88,6 +88,28 @@ def test_ngram_jaccard_prefix_equals_none_at_half(spark, docs):
     assert got == want
 
 
+def test_minhash_hot_bucket_cap_preserves_components(spark):
+    """Planted degenerate bucket: 40 byte-identical docs share every band
+    (clique = 780 pairs/bucket). With hot_bucket_cap=8 the listing must be
+    linear in the bucket width while connected components — the consumer
+    the guard is for — stay byte-identical to the uncapped run."""
+    rows = [(i, "the same boilerplate text repeated for every doc here") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words {i*7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.minhash_lsh_candidates(df, "text", "doc_id")
+    capped = dedup.minhash_lsh_candidates(df, "text", "doc_id", hot_bucket_cap=8)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 40 * 39 / 2  # the uncapped clique really is quadratic
+    assert n_capped <= 39 + 8 * 8 * 4  # star + small-bucket residue bound
+
+    cc_full = {(r["doc_id"], r["group_id"]) for r in dedup.connected_components(full).collect()}
+    cc_capped = {
+        (r["doc_id"], r["group_id"]) for r in dedup.connected_components(capped).collect()
+    }
+    assert cc_full == cc_capped
+
+
 def test_simhash_locality(spark, docs):
     rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(docs, "text", "doc_id").collect()}
     from fairy_core_spark.functions.phash import hamming64

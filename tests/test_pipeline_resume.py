@@ -40,3 +40,36 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     s3 = r3.run(stages3)
     assert s3["gen_images"] == "skipped"
     assert s3["validate"] == "completed"
+
+
+def test_resume_binds_to_snapshot_identity_not_file_bytes(spark, tmp_path):
+    """The Iceberg seam: with a catalog whose snapshot ids are commit
+    metadata (IcebergLikeCatalog), flipping an input table's snapshot id —
+    data files untouched — must re-execute every downstream stage, exactly
+    as a new Iceberg commit would. Proves the runner fingerprints inputs by
+    snapshot identity, not by hashing bytes itself."""
+    from fairy_core_spark.sources.tables import IcebergLikeCatalog
+
+    out = str(tmp_path / "iceberg_run")
+    stages = image_pipeline_stages(n_images=150, tile_level=9)
+
+    cat1 = IcebergLikeCatalog(out)
+    r1 = PipelineRunner(spark, out, catalog=cat1)
+    s1 = r1.run(stages)
+    assert all(v == "completed" for v in s1.values())
+    # commit-sequence ids, not sha256 file hashes
+    assert cat1.snapshot("images")["snapshot_id"] == "commit-0"
+
+    # resubmit: same snapshot ids -> all skipped
+    r2 = PipelineRunner(spark, out, catalog=IcebergLikeCatalog(out))
+    assert all(v == "skipped" for v in r2.run(image_pipeline_stages(150, 9)).values())
+
+    # upstream commit: flip the images snapshot id ONLY (bytes identical)
+    cat3 = IcebergLikeCatalog(out)
+    cat3.set_snapshot_id("images", "commit-7")
+    r3 = PipelineRunner(spark, out, catalog=cat3)
+    s3 = r3.run(image_pipeline_stages(150, 9))
+    assert s3["gen_images"] == "skipped"  # source stage: no catalog inputs
+    assert s3["validate"] == "completed"  # consumes images -> re-executed
+    # downstream of validate re-executes too (validated got a new commit id)
+    assert s3["encode"] == "completed"

@@ -1,0 +1,115 @@
+"""Registered-domain (PSL) keying: Spark column expr == python reference ==
+DuckDB oracle SQL on a battery of hosts, and per-domain quota sampling
+grouping subdomains of one registered domain together."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.data.public_suffixes import registered_domain_py
+from fairy_core_spark.operators.text import (
+    registered_domain,
+    registered_domain_sql,
+    url_domain,
+)
+
+HOSTS = [
+    "example.com",
+    "www.example.com",
+    "a.b.example.com",
+    "example.co.uk",
+    "www.example.co.uk",
+    "deep.sub.example.co.uk",
+    "myblog.blogspot.com",
+    "www.myblog.blogspot.com",
+    "user.github.io",
+    "project.user.github.io",
+    "bucket.s3.amazonaws.com",
+    "x.bucket.s3.amazonaws.com",
+    "gov.uk",          # host == a suffix: passes through (last-2 default)
+    "localhost",       # no dot: passes through
+    "example.xyz",     # one-label TLD via the default rule
+    "sub.example.com.br",
+    "example.waw.pl",
+    "",
+]
+
+EXPECT = {
+    "example.com": "example.com",
+    "www.example.com": "example.com",
+    "a.b.example.com": "example.com",
+    "example.co.uk": "example.co.uk",
+    "www.example.co.uk": "example.co.uk",
+    "deep.sub.example.co.uk": "example.co.uk",
+    "myblog.blogspot.com": "myblog.blogspot.com",
+    "www.myblog.blogspot.com": "myblog.blogspot.com",
+    "user.github.io": "user.github.io",
+    "project.user.github.io": "user.github.io",
+    "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+    "x.bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+    "gov.uk": "gov.uk",
+    "localhost": "localhost",
+    "example.xyz": "example.xyz",
+    "sub.example.com.br": "example.com.br",
+    "example.waw.pl": "example.waw.pl",
+    "": "",
+}
+
+
+def test_python_reference_battery():
+    for h in HOSTS:
+        assert registered_domain_py(h) == EXPECT[h], h
+
+
+def test_spark_matches_python_reference(spark):
+    df = spark.createDataFrame([(h,) for h in HOSTS], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select("host", registered_domain(F.col("host")).alias("rd")).collect()
+    }
+    assert got == EXPECT
+
+
+def test_duckdb_sql_matches_python_reference():
+    con = duckdb.connect()
+    hosts = ", ".join(f"('{h}')" for h in HOSTS)
+    sql = (
+        f"SELECT host, {registered_domain_sql('host')} AS rd "
+        f"FROM (VALUES {hosts}) AS t(host)"
+    )
+    got = dict(con.execute(sql).fetchall())
+    assert got == EXPECT
+
+
+def test_quota_sample_keys_on_registered_domain(spark):
+    """30 subdomain URLs of one registered domain + 5 of another; quota 4
+    per registered domain must keep 4 + 4 (full-host keying would keep all
+    35 — the production-convention gap ADVICE flagged)."""
+    from fairy_core_spark.operators.sampling import quota_sample
+
+    rows = [(i, f"https://sub{i}.example.co.uk/p") for i in range(30)]
+    rows += [(100 + i, f"https://www.other.com/{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    keyed = df.select(
+        "doc_id", registered_domain(url_domain(F.col("url"))).alias("domain")
+    )
+    kept = quota_sample(keyed, "domain", "doc_id", 4)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"example.co.uk": 4, "other.com": 4}
+
+
+@pytest.mark.parametrize("h", ["a.github.io", "b.co.jp", "c.d.e.f.com.au"])
+def test_three_engines_agree_on_extra_hosts(spark, h):
+    con = duckdb.connect()
+    want = registered_domain_py(h)
+    sdf = spark.createDataFrame([(h,)], "host string")
+    got_spark = sdf.select(registered_domain(F.col("host")).alias("rd")).first()["rd"]
+    got_duck = con.execute(
+        f"SELECT {registered_domain_sql('host')} FROM (VALUES ('{h}')) t(host)"
+    ).fetchone()[0]
+    assert got_spark == want == got_duck
