@@ -68,3 +68,17 @@ def test_hex7_cells4_golden_matches_engine(spark):
     )
     for r in sample.select("point_id", "hex_id").collect():
         assert golden[r["point_id"]] == r["hex_id"], r["point_id"]
+
+
+def test_image_alt_hash_golden_matches_engine(spark):
+    from fairy_core_spark.datagen.images import images_df
+    from fairy_core_spark.functions.alt_hash import alt_hashes
+    from fairy_core_spark.goldens.contract_goldens import IMAGE_ALTHASH_3000
+
+    assert len(IMAGE_ALTHASH_3000) == 3000
+    golden = {iid: (dh, ah) for iid, dh, ah in IMAGE_ALTHASH_3000}
+    imgs = images_df(spark, 3000).where(F.abs(F.xxhash64("image_id")) % 25 == 0)
+    rows = alt_hashes(imgs).collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert golden[r["image_id"]] == (r["dhash"], r["ahash"]), r["image_id"]
