@@ -167,3 +167,80 @@ def decode_sanity_report(images: DataFrame) -> DataFrame:
         "rows",
         F.expr(f"stack({len(CHECK_COLUMNS)}, {pairs}) as (rule_id, violations)"),
     ).select("rule_id", "violations", "rows")
+
+
+# ---------------------------------------------------------------- metadata
+# corpus filters over the (image_id, w, h, fmt, caption) columns only — the
+# cheap pre-decode stage a 10^12-image pipeline runs BEFORE paying for any
+# pixel work (reference analog: the rulepack's enum/range/required cell
+# tests, rulepack_runner.py:601-694, applied to the north-rule image table).
+
+META_FILTER_REASONS = ("caption_missing", "bad_fmt", "bad_aspect", "too_small")
+
+
+def caption_body(col=None):
+    """Column: the caption text with the generator's ``caption for <id>: ``
+    prefix stripped — the free-text body an image-caption dedup keys on.
+    Limit-2 split so a body containing the separator later is untouched;
+    ``F.get`` (not ``getItem``) so a caption with no separator yields NULL
+    instead of an ANSI array-index error."""
+    c = F.col("caption") if col is None else col
+    return F.get(F.split(c, ": ", 2), 1)
+
+
+def image_meta_filter(
+    images: DataFrame,
+    *,
+    min_side: int = 48,
+    aspect_num: int = 3,
+    aspect_den: int = 2,
+    min_caption_tokens: int = 3,
+    allowed_fmts: tuple[str, ...] = ("ppm", "png", "qnt"),
+) -> DataFrame:
+    """images + ``reject_reason`` (NULL = kept), metadata columns only.
+
+    First-match-wins reason order (META_FILTER_REASONS): missing/short
+    caption, disallowed fmt, aspect ratio strictly above aspect_num/
+    aspect_den (integer cross-multiply — no float compare anywhere, so the
+    DuckDB oracle replays it exactly), short side below ``min_side``.
+
+    Scale: pure Column projection — no UDF, no shuffle, no bytes touched;
+    Catalyst prunes the binary column out of the scan entirely when the
+    caller selects metadata columns downstream.
+    """
+    cap = F.col("caption")
+    # coalesce: a NULL body (no prefix separator) must read as 0 tokens in
+    # BOTH ANSI (size(NULL)=NULL) and legacy (-1) modes
+    n_tokens = F.coalesce(F.size(F.split(F.trim(caption_body()), r"\s+")), F.lit(0))
+    w, h = F.col("w"), F.col("h")
+    lo, hi = F.least(w, h), F.greatest(w, h)
+    reason = (
+        F.when(
+            cap.isNull() | (F.trim(cap) == "") | (n_tokens < min_caption_tokens),
+            "caption_missing",
+        )
+        .when(~F.col("fmt").isin(*allowed_fmts), "bad_fmt")
+        .when(hi * aspect_den > lo * aspect_num, "bad_aspect")
+        .when(lo < min_side, "too_small")
+    )
+    return images.withColumn("reject_reason", reason)
+
+
+def caption_exact_dups(images: DataFrame) -> DataFrame:
+    """Image-caption pairs sharing an identical caption BODY: (caption_body,
+    n, keeper_id). The text twin of phash_exact_dups — web corpora carry
+    many images re-posted with the same alt-text, and caption-level dedup
+    is a standard pre-training cleanup. Keep-first keeper (min image_id)
+    mirrors the reference's unique rule (rulepack_runner.py:694-719).
+
+    Scale: shuffle carries (body, id) only — never bytes; bodies are short
+    strings, so the groupBy is a plain hash agg with map-side combine.
+    """
+    return (
+        images.where(F.col("caption").isNotNull())
+        .select(caption_body().alias("caption_body"), "image_id")
+        .where(F.col("caption_body").isNotNull())
+        .groupBy("caption_body")
+        .agg(F.count("*").alias("n"), F.min("image_id").alias("keeper_id"))
+        .where(F.col("n") > 1)
+    )

@@ -1,0 +1,115 @@
+"""Metadata-only image corpus filter + caption dedup.
+
+Three layers:
+  1. reason precedence / predicate edges on hand-built rows (no datagen);
+  2. caption_exact_dups semantics on a tiny hand-built frame;
+  3. the gate oracle's DuckDB regeneration of the synthetic image table's
+     metadata (queries._image_meta_regen_sql) vs the actual datagen rows —
+     the non-circularity anchor for both new gate entries: if datagen and
+     the SQL replay ever drift, this fails before the gate does.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from fairy_core_spark.operators.images import (
+    META_FILTER_REASONS,
+    caption_exact_dups,
+    image_meta_filter,
+)
+
+COLS = ["image_id", "w", "h", "fmt", "caption"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=COLS).astype(
+            {"w": "int32", "h": "int32"}
+        )
+    )
+
+
+def _reasons(spark, rows) -> dict[str, str | None]:
+    out = image_meta_filter(_df(spark, rows)).select("image_id", "reject_reason")
+    return {r["image_id"]: r["reject_reason"] for r in out.collect()}
+
+
+def test_reason_precedence_and_edges(spark):
+    cap = "caption for {}: one two three"
+    rows = [
+        ("keep", 48, 64, "ppm", cap.format("keep")),  # 64/48 < 1.5: kept
+        ("nullcap", 48, 48, "ppm", None),
+        ("blankcap", 48, 48, "ppm", "   "),
+        ("shortcap", 48, 48, "ppm", "caption for shortcap: one two"),
+        ("noprefix", 48, 48, "ppm", "just words no separator"),
+        # caption wins over every later reason
+        ("cap_first", 32, 64, "jpeg", None),
+        ("fmt_first", 32, 64, "jpeg", cap.format("fmt_first")),
+        # strict > 3/2: 48x32 is 1.5 exactly -> NOT bad_aspect, but too_small
+        ("ratio_eq", 48, 32, "ppm", cap.format("ratio_eq")),
+        ("ratio_gt", 64, 32, "ppm", cap.format("ratio_gt")),
+        ("small", 32, 32, "ppm", cap.format("small")),
+    ]
+    got = _reasons(spark, rows)
+    assert got == {
+        "keep": None,
+        "nullcap": "caption_missing",
+        "blankcap": "caption_missing",
+        "shortcap": "caption_missing",
+        "noprefix": "caption_missing",
+        "cap_first": "caption_missing",
+        "fmt_first": "bad_fmt",
+        "ratio_eq": "too_small",
+        "ratio_gt": "bad_aspect",
+        "small": "too_small",
+    }
+    assert set(v for v in got.values() if v) <= set(META_FILTER_REASONS)
+
+
+def test_meta_filter_is_pure_projection(spark):
+    """no exchange in the plan — the filter must stay a scan-side projection."""
+    rows = [("a", 48, 48, "ppm", "caption for a: one two three")]
+    plan = image_meta_filter(_df(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_caption_exact_dups(spark):
+    rows = [
+        ("a1", 48, 48, "ppm", "caption for a1: red fox den"),
+        ("a2", 48, 48, "png", "caption for a2: red fox den"),
+        ("a3", 48, 48, "qnt", "caption for a3: red fox den"),
+        ("b1", 48, 48, "ppm", "caption for b1: lone body"),
+        ("c1", 48, 48, "ppm", None),
+        ("c2", 48, 48, "ppm", None),  # nulls never group
+    ]
+    out = caption_exact_dups(_df(spark, rows)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["caption_body"], row["n"], row["keeper_id"]) == ("red fox den", 3, "a1")
+
+
+@pytest.mark.parametrize("dirty_every", [None, 50])
+def test_regen_sql_matches_datagen(dirty_every):
+    """DuckDB metadata regeneration == the real datagen rows, column for
+    column, including the dup-row aliasing (i%1000==999) and all four dirty
+    variants' metadata effects."""
+    from fairy_core_spark.datagen.images import synth_image_rows_batch
+    from fairy_core_spark.queries import _image_meta_regen_sql
+
+    n = 1200  # crosses the i=999 dup row and 24 dirty rows at de=50
+    pdf = synth_image_rows_batch(list(range(n)), dirty_every=dirty_every)
+    want = (
+        pdf[COLS].sort_values("image_id").reset_index(drop=True)
+    )
+    got = (
+        duckdb.sql(_image_meta_regen_sql(n, dirty_every=dirty_every))
+        .df()[COLS]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    got["w"] = got["w"].astype(want["w"].dtype)
+    got["h"] = got["h"].astype(want["h"].dtype)
+    pd.testing.assert_frame_equal(got, want)
