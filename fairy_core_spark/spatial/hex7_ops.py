@@ -217,3 +217,32 @@ def uncompact_cells_df(df: DataFrame, cell_col: str = "cell", res: int = MAX_RES
             F.when(F.col("__h7_d").isNull(), F.col(cell_col)).otherwise(child).alias(cell_col)
         )
     return cur
+
+
+def hex7_pyramid(
+    df: DataFrame, cell_col: str = "cell", levels: tuple[int, ...] = (7, 5, 3)
+) -> DataFrame:
+    """Explode each row to every pyramid level as ``(res, cell)`` — the
+    multi-resolution tile-rollup shape (map servers, heatmap pyramids,
+    hypertable continuous aggregates): encode once at the finest res,
+    derive every coarser cell as codegen bit math, and emit all levels
+    through ONE codegen Generate(stack) so a downstream ``groupBy(res, cell)`` aggregates
+    the whole pyramid in a single shuffle instead of ``len(levels)``
+    scans (same one-pass idiom as SQL ROLLUP's Expand, but along the spatial
+    hierarchy). Input cells must be at res ``max(levels)`` (the parent
+    math contract of :func:`hex7_parent_col`); other columns pass through.
+    """
+    lvls = sorted({int(l) for l in levels}, reverse=True)
+    base = lvls[0]
+    if not 0 <= base <= MAX_RES:
+        raise ValueError(f"levels must be in [0, {MAX_RES}], got {levels}")
+    others = [c for c in df.columns if c != cell_col]
+    proj = df.select(
+        *others,
+        F.col(cell_col).alias(f"__pyr{base}"),
+        *[hex7_parent_col(F.col(cell_col), l).alias(f"__pyr{l}") for l in lvls[1:]],
+    )
+    pairs = ", ".join(f"{l}, `__pyr{l}`" for l in lvls)
+    return proj.select(
+        *others, F.expr(f"stack({len(lvls)}, {pairs}) AS (res, cell)")
+    )

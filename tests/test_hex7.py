@@ -513,3 +513,50 @@ def test_explode_children_rejects_max_res(spark):
     df = spark.createDataFrame([(c,)], "cell long")
     with pytest.raises(Exception, match="MAX_RES"):
         explode_children(df, "cell").collect()
+
+
+def test_spark_pyramid_one_expand(spark):
+    """hex7_pyramid == the per-level parent groupBys, via ONE Expand."""
+    from fairy_core_spark.spatial.hex7_ops import hex7_parent_col, hex7_pyramid
+
+    lat, lon = _sample(2000, seed=11)
+    cells = hex7.cell_id(lat, lon, 5)
+    df = spark.createDataFrame(
+        [(int(c), i) for i, c in enumerate(cells)], "cell long, v long"
+    )
+    got = (
+        hex7_pyramid(df, cell_col="cell", levels=(5, 3, 1))
+        .groupBy("res", "cell")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .toPandas()
+        .sort_values(["res", "cell"])
+        .reset_index(drop=True)
+    )
+    # reference: one groupBy per level on the numpy parent math
+    import pandas as pd
+
+    ref_rows = []
+    for lvl in (5, 3, 1):
+        p = cells if lvl == 5 else hex7.cell_to_parent(cells, lvl)
+        pdf = pd.DataFrame({"cell": p.astype(np.int64), "v": np.arange(len(p))})
+        g = pdf.groupby("cell").agg(n=("v", "size"), s=("v", "sum")).reset_index()
+        g.insert(0, "res", lvl)
+        ref_rows.append(g)
+    ref = (
+        pd.concat(ref_rows)
+        .sort_values(["res", "cell"])
+        .reset_index(drop=True)
+        .astype({"res": got["res"].dtype, "n": got["n"].dtype, "s": got["s"].dtype})
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+    # the whole pyramid is ONE codegen Generate(stack) — no Union of scans
+    plan = (
+        hex7_pyramid(df, cell_col="cell", levels=(5, 3, 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate stack") == 1 and "Union" not in plan
+    assert plan.lstrip().startswith("*")  # Generate runs inside WholeStageCodegen
+
+    with pytest.raises(ValueError):
+        hex7_pyramid(df, levels=(99,))
