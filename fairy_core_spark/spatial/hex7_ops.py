@@ -233,14 +233,24 @@ def hex7_pyramid(
     math contract of :func:`hex7_parent_col`); other columns pass through.
     """
     lvls = sorted({int(l) for l in levels}, reverse=True)
-    base = lvls[0]
-    if not 0 <= base <= MAX_RES:
+    if not 0 <= lvls[0] <= MAX_RES:
         raise ValueError(f"levels must be in [0, {MAX_RES}], got {levels}")
+    return pyramid_stack(df, cell_col, lvls, hex7_parent_col)
+
+
+def pyramid_stack(df: DataFrame, cell_col: str, levels, parent_col_fn) -> DataFrame:
+    """Scheme-agnostic core of the pyramid explode: project the base cell
+    plus ``parent_col_fn(cell, level)`` for each coarser level, then emit
+    all of them through one ``stack`` (codegen Generate). ``levels`` must
+    already be validated + sorted descending; the base level is the
+    identity column (rows must be at that resolution)."""
+    lvls = list(levels)
+    base = lvls[0]
     others = [c for c in df.columns if c != cell_col]
     proj = df.select(
         *others,
         F.col(cell_col).alias(f"__pyr{base}"),
-        *[hex7_parent_col(F.col(cell_col), l).alias(f"__pyr{l}") for l in lvls[1:]],
+        *[parent_col_fn(F.col(cell_col), l).alias(f"__pyr{l}") for l in lvls[1:]],
     )
     pairs = ", ".join(f"{l}, `__pyr{l}`" for l in lvls)
     return proj.select(

@@ -64,6 +64,35 @@ def with_cell(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
     return df.withColumn(out, cell_udf(level, scheme)(F.col(lat_col), F.col(lon_col)))
 
 
+def s2_parent_col(cell, level: int):
+    """S2 cellToParent as pure Column bit math (the Column twin of
+    spatial/s2.parent): clear everything below the new sentinel bit and
+    set it. ``cell & -new_lsb`` is the two's-complement spelling of
+    ``cell & ~(new_lsb - 1)`` — exact for faces 4-5 whose int64 ids are
+    negative. Rows must already be at a level >= ``level``."""
+    if not 0 <= level <= s2.MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {s2.MAX_LEVEL}], got {level}")
+    new_lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-new_lsb).cast("long")).bitwiseOR(
+        F.lit(new_lsb).cast("long")
+    )
+
+
+def s2_pyramid(
+    df: DataFrame, cell_col: str = "cell", levels: tuple[int, ...] = (12, 8, 4)
+) -> DataFrame:
+    """S2 twin of :func:`fairy_core_spark.spatial.hex7_ops.hex7_pyramid`:
+    explode each row to (res, cell) at every pyramid level through one
+    codegen Generate(stack), coarser cells via :func:`s2_parent_col`.
+    Input cells must be at level ``max(levels)``."""
+    from fairy_core_spark.spatial.hex7_ops import pyramid_stack
+
+    lvls = sorted({int(l) for l in levels}, reverse=True)
+    if not 0 <= lvls[0] <= s2.MAX_LEVEL:
+        raise ValueError(f"levels must be in [0, {s2.MAX_LEVEL}], got {levels}")
+    return pyramid_stack(df, cell_col, lvls, s2_parent_col)
+
+
 def _rings_dict(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     out = {}
     for _, r in polygons_pdf.iterrows():

@@ -127,3 +127,41 @@ def test_ring_interior_matches_bfs():
     # a cell at the face corner is never "interior"
     corner = s2.cell_id(np.array([0.001]), np.array([-44.999]), level)  # near face edge lon=-45
     assert not s2.ring_is_interior(corner, level, 2).all() or True  # smoke: callable on edge cells
+
+
+def test_spark_s2_parent_pyramid_parity(spark):
+    """s2_parent_col / s2_pyramid == the numpy s2.parent math, including
+    negative int64 ids (faces 4-5), via one codegen Generate(stack)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import s2_parent_col, s2_pyramid
+
+    rng = np.random.default_rng(12)
+    lat = rng.uniform(-85, 85, 500)
+    lon = rng.uniform(-180, 180, 500)  # spans all six faces
+    cells = s2.cell_id(lat, lon, 12)
+    assert (cells < 0).any()  # the two's-complement path is exercised
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+
+    got = df.select(s2_parent_col(F.col("cell"), 5).alias("p")).toPandas()["p"]
+    assert np.array_equal(np.sort(got.unique()), np.unique(s2.parent(cells, 5)))
+
+    pyr = (
+        s2_pyramid(df, cell_col="cell", levels=(12, 6, 2))
+        .groupBy("res", "cell").agg(F.count("*").alias("n"))
+        .toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    )
+    ref_rows = []
+    for lvl in (12, 6, 2):
+        p = cells if lvl == 12 else s2.parent(cells, lvl)
+        g = pd.Series(p).value_counts().sort_index()
+        ref_rows.append(pd.DataFrame({"res": lvl, "cell": g.index, "n": g.values}))
+    ref = (
+        pd.concat(ref_rows).sort_values(["res", "cell"]).reset_index(drop=True)
+        .astype({"res": pyr["res"].dtype, "cell": pyr["cell"].dtype, "n": pyr["n"].dtype})
+    )
+    pd.testing.assert_frame_equal(pyr, ref)
+
+    plan = s2_pyramid(df, cell_col="cell", levels=(12, 6, 2))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate stack") == 1 and "Union" not in plan
