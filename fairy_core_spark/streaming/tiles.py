@@ -127,3 +127,48 @@ def foreach_batch_tile_writer(
         )
 
     return _write
+
+
+def streaming_tile_pyramid(
+    stream: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    levels: tuple[int, ...] = (12, 8, 4),
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+    cell_scheme: str = "s2",
+) -> DataFrame:
+    """Multi-resolution streaming rollup: (window, res, cell, n_images,
+    avg_w, avg_h) for every pyramid level at once. Encode ONCE at
+    ``max(levels)`` (the only Python in the plan); coarser cells are
+    stateless codegen parent bit math riding the same one-pass
+    Generate(stack) as the batch pyramid (spatial/ops.s2_pyramid /
+    spatial/hex7_ops.hex7_pyramid), so streaming state stays one
+    watermark-closed aggregation over O(open windows x active cells
+    summed over levels) — exploding levels BEFORE the agg multiplies
+    rows len(levels)x map-side but never adds a second stateful stage
+    (two chained streaming aggs would be illegal in append mode anyway).
+    """
+    base = max(int(l) for l in levels)
+    tiled = with_cell(stream, lat_col, lon_col, base, out="__cell", scheme=cell_scheme)
+    if cell_scheme == "hex7":
+        from fairy_core_spark.spatial.hex7_ops import hex7_pyramid
+
+        stacked = hex7_pyramid(tiled, cell_col="__cell", levels=levels)
+    else:
+        from fairy_core_spark.spatial.ops import s2_pyramid
+
+        stacked = s2_pyramid(tiled, cell_col="__cell", levels=levels)
+    stacked = stacked.withColumn("__event_ts", F.col(ts_col).cast("timestamp"))
+    win = F.window(F.col("__event_ts"), window, slide or window)
+    return (
+        stacked.withWatermark("__event_ts", watermark)
+        .groupBy(win.alias("window"), F.col("res"), F.col("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("w"), 4).alias("avg_w"),
+            F.round(F.avg("h"), 4).alias("avg_h"),
+        )
+    )

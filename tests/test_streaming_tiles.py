@@ -290,3 +290,58 @@ def test_streaming_rollup_hex7_scheme_matches_batch(spark, tmp_path):
     assert {k: v for k, v in got.items() if k[0] < last_ws} == exp
     # hex ids carry the hex7 res field
     assert {(int(t) >> 59) & 0xF for _, t in got} == {5}
+
+
+def test_streaming_pyramid_matches_batch_on_closed_windows(spark, tmp_path):
+    """streaming_tile_pyramid == the batch pyramid aggregation on closed
+    windows, for both schemes (the level explode is stateless, so watermark
+    semantics are untouched)."""
+    from fairy_core_spark.spatial.hex7_ops import hex7_pyramid
+    from fairy_core_spark.spatial.ops import s2_pyramid
+    from fairy_core_spark.streaming.tiles import streaming_tile_pyramid
+
+    src = tmp_path / "pyr_src"
+    batch = _source_df(spark)
+    batch.write.parquet(str(src))
+
+    for scheme, lvls, pyr in (("s2", (7, 4), s2_pyramid), ("hex7", (4, 2), hex7_pyramid)):
+        stream = spark.readStream.schema(batch.schema).format("parquet").load(str(src))
+        q = (
+            streaming_tile_pyramid(
+                stream, levels=lvls, window="1 hour",
+                watermark="0 seconds", cell_scheme=scheme,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"pyr_{scheme}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{scheme}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["ws"], r["res"], r["cell"]): (r["n_images"], r["avg_w"], r["avg_h"])
+            for r in spark.sql(
+                f"SELECT window.start AS ws, res, cell, n_images, avg_w, avg_h FROM pyr_{scheme}"
+            ).collect()
+        }
+        assert got, f"no closed windows emitted ({scheme})"
+
+        tiled = with_cell(batch, "lat", "lon", max(lvls), out="__cell", scheme=scheme)
+        exp_df = (
+            pyr(tiled, cell_col="__cell", levels=lvls)
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("window"), "res", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_images"),
+                F.round(F.avg("w"), 4).alias("avg_w"),
+                F.round(F.avg("h"), 4).alias("avg_h"),
+            )
+            .select(F.col("window.start").alias("ws"), "res", "cell", "n_images", "avg_w", "avg_h")
+        )
+        last_ws = exp_df.agg(F.max("ws").alias("m")).collect()[0]["m"]
+        exp = {
+            (r["ws"], r["res"], r["cell"]): (r["n_images"], r["avg_w"], r["avg_h"])
+            for r in exp_df.where(F.col("ws") < F.lit(last_ws)).collect()
+        }
+        closed_got = {k: v for k, v in got.items() if k[0] < last_ws}
+        assert closed_got == exp
