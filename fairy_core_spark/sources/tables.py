@@ -187,6 +187,26 @@ class ParquetDirCatalog:
             json.dump(snap, f, sort_keys=True, indent=2)
         return snap
 
+    def files(self, name: str) -> list[dict]:
+        """File manifest of the current table state: [{path, bytes}] with
+        paths relative to the table's data dir — the Iceberg
+        manifest-entry analog consumed by maintenance planning
+        (operators/maintenance.compaction_plan). Metadata only: a
+        directory walk + stat, no parquet opened."""
+        data_dir = os.path.join(self._dir(name), "data")
+        out = []
+        for root, _dirs, fns in os.walk(data_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out.append(
+                        {
+                            "path": os.path.relpath(p, data_dir),
+                            "bytes": os.path.getsize(p),
+                        }
+                    )
+        return sorted(out, key=lambda r: r["path"])
+
     def partitions(self, name: str) -> list[str]:
         """Partition directory listing (lineage granularity)."""
         data_dir = os.path.join(self._dir(name), "data")

@@ -1,0 +1,104 @@
+"""Compaction planning (operators/maintenance.py): packing invariants,
+partition-layout invariance, DuckDB-twin parity, and the end-to-end path
+over a real ParquetDirCatalog file manifest."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fairy_core_spark.operators.maintenance import compaction_plan, compaction_plan_sql
+
+TARGET = 10_000
+
+
+def _files(spark, n=400, parts=3, partitions=4):
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") % parts).alias("part"),
+        ((F.col("id") * 613) % 14_000 + 500).alias("bytes"),  # ~30% >= TARGET
+    )
+
+
+def test_packing_invariants(spark):
+    files = _files(spark)
+    plan = compaction_plan(
+        files, TARGET, file_col="file_id", partition_cols=("part",)
+    ).toPandas()
+
+    keeps = plan[plan["action"] == "keep"]
+    rewrites = plan[plan["action"] == "rewrite"]
+    assert len(plan) == 400  # every file planned exactly once
+    assert (keeps["bytes"] >= TARGET).all() and keeps["group_id"].isna().all()
+    assert (rewrites["bytes"] < TARGET).all() and rewrites["group_id"].notna().all()
+
+    g = rewrites.groupby(["part", "group_id"])["bytes"]
+    # cumulative-fill bound: every bin < target + its largest member (< 2x)
+    assert ((g.sum() - g.max()) < TARGET).all()
+    # bins are contiguous 0..k per partition and only the last may be light
+    for part, sub in rewrites.groupby("part"):
+        ids = sorted(sub["group_id"].unique())
+        assert ids == list(range(len(ids)))
+        sums = sub.groupby("group_id")["bytes"].sum()
+        assert (sums.iloc[:-1] >= TARGET - sub["bytes"].max()).all()
+
+
+def test_plan_is_partition_layout_invariant(spark):
+    """The plan depends on (part, file_id) only — never on how the manifest
+    rows are distributed across Spark partitions."""
+    a = compaction_plan(
+        _files(spark, partitions=1), TARGET, "file_id", partition_cols=("part",)
+    ).toPandas().sort_values("file_id").reset_index(drop=True)
+    b = compaction_plan(
+        _files(spark, partitions=13).repartition(7), TARGET, "file_id",
+        partition_cols=("part",),
+    ).toPandas().sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sql_twin_parity(spark):
+    want = (
+        compaction_plan(_files(spark), TARGET, "file_id", partition_cols=("part",))
+        .toPandas().sort_values("file_id").reset_index(drop=True)
+    )
+    files = (
+        "(SELECT i AS file_id, i % 3 AS part, (i * 613) % 14000 + 500 AS bytes"
+        " FROM generate_series(0, 399) AS t(i))"
+    )
+    got = (
+        duckdb.sql(
+            compaction_plan_sql(files, TARGET, "file_id", "bytes", ("part",))
+        )
+        .df().sort_values("file_id").reset_index(drop=True)
+    )
+    for c in want.columns:
+        got[c] = got[c].astype(want[c].dtype)
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+
+def test_catalog_manifest_roundtrip(spark, tmp_path):
+    """catalog.files() manifest -> compaction_plan over a REAL table whose
+    writer fragmented it into many small files."""
+    from fairy_core_spark.sources.tables import ParquetDirCatalog
+
+    cat = ParquetDirCatalog(str(tmp_path))
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 2).alias("p"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    cat.write(df.repartition(24), "frag", partition_by=["p"])
+
+    manifest = cat.files("frag")
+    assert len(manifest) >= 24 and all(m["bytes"] > 0 for m in manifest)
+
+    files_df = spark.createDataFrame(pd.DataFrame(manifest))
+    # derive the partition key from the path (p=0/ / p=1/ dirs)
+    files_df = files_df.withColumn(
+        "p", F.regexp_extract("path", r"p=(\d+)", 1)
+    )
+    target = max(m["bytes"] for m in manifest) + 1  # everything is "small"
+    plan = compaction_plan(files_df, target, file_col="path", partition_cols=("p",))
+    out = plan.toPandas()
+    assert (out["action"] == "rewrite").all()
+    n_groups = out.groupby("p")["group_id"].nunique().sum()
+    assert n_groups < len(manifest)  # the plan actually reduces file count

@@ -235,3 +235,37 @@ def test_window_hashes_matches_python_reference(spark, tokens_list, n):
     df = spark.createDataFrame(pd.DataFrame({"text": [" ".join(tokens_list)]}))
     got = df.select(window_hashes(F.col("text"), n).alias("w")).collect()[0]["w"]
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.tuples(lat_st, lon_st), min_size=1, max_size=20),
+    st.data(),
+)
+def test_parent_composition_and_idempotence(points, data):
+    """parent algebra both schemes lean on for the pyramid: composition
+    (parent of parent at l == parent at l) and idempotence at own level."""
+    from fairy_core_spark.spatial import hex7
+
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+
+    base = data.draw(st.integers(4, 20), label="s2_base")
+    mid = data.draw(st.integers(2, base - 1), label="s2_mid")
+    lo = data.draw(st.integers(0, mid - 1), label="s2_lo")
+    c = s2.cell_id(lat, lon, base)
+    assert (s2.parent(s2.parent(c, mid), lo) == s2.parent(c, lo)).all()
+    assert (s2.parent(s2.parent(c, mid), mid) == s2.parent(c, mid)).all()
+
+    hbase = data.draw(st.integers(3, 8), label="h_base")
+    hmid = data.draw(st.integers(1, hbase - 1), label="h_mid")
+    hlo = data.draw(st.integers(0, hmid - 1), label="h_lo")
+    hc = hex7.cell_id(lat, lon, hbase)
+    assert (
+        hex7.cell_to_parent(hex7.cell_to_parent(hc, hmid), hlo)
+        == hex7.cell_to_parent(hc, hlo)
+    ).all()
+    assert (
+        hex7.cell_to_parent(hex7.cell_to_parent(hc, hmid), hmid)
+        == hex7.cell_to_parent(hc, hmid)
+    ).all()
