@@ -77,3 +77,94 @@ def compaction_plan_sql(
         / {t}) AS BIGINT) END AS group_id
     FROM {files_rel}
     """
+
+
+def manifest_diff(
+    old: DataFrame,
+    new: DataFrame,
+    file_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Snapshot-to-snapshot file diff — the incremental-processing primitive
+    (Iceberg incremental read / changelog scan analog): full-outer join of
+    two manifests on the file id, classified added / removed / changed /
+    unchanged. Downstream incremental jobs process only 'added' + 'changed'
+    rows instead of rescanning 10^12 images. Metadata cardinality only."""
+    o = old.select(
+        F.col(file_col).alias(file_col), F.col(bytes_col).alias("bytes_old")
+    )
+    n = new.select(
+        F.col(file_col).alias(file_col), F.col(bytes_col).alias("bytes_new")
+    )
+    j = o.join(n, file_col, "full_outer")
+    status = (
+        F.when(F.col("bytes_old").isNull(), "added")
+        .when(F.col("bytes_new").isNull(), "removed")
+        .when(F.col("bytes_old") != F.col("bytes_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(file_col, "bytes_old", "bytes_new", status.alias("status"))
+
+
+def clustering_depth(
+    stats: DataFrame,
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-partition MAX OVERLAP DEPTH of file key ranges — the metric that
+    decides when a table needs re-clustering (Z-order / sort compaction):
+    depth d at key k means a point lookup of k must open d files; a
+    well-clustered table holds depth ~1, ingest-ordered tables drift up.
+
+    Sweep-line as one window: +1 event at each file's min, -1 at its max,
+    running sum ordered by (key, event DESC) — inclusive [min, max]
+    intervals, so ranges touching at a key count as overlapping there.
+    Metadata cardinality (2 events per manifest row)."""
+    parts = [F.col(c) for c in partition_cols]
+    opens = stats.select(
+        *parts, F.col(min_col).alias("__k"), F.lit(1).alias("__d")
+    )
+    closes = stats.select(
+        *parts, F.col(max_col).alias("__k"), F.lit(-1).alias("__d")
+    )
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col("__k"), F.col("__d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = opens.unionByName(closes).select(
+        *parts, F.sum("__d").over(w).alias("__depth")
+    )
+    gb = swept.groupBy(*parts) if partition_cols else swept.groupBy()
+    return gb.agg(
+        F.max("__depth").alias("max_depth"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_files"),
+    )
+
+
+def clustering_depth_sql(
+    stats_rel: str,
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+    partition_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`clustering_depth` — same events, same window."""
+    cols = ", ".join(partition_cols)
+    sel = cols + ", " if cols else ""
+    part = f"PARTITION BY {cols} " if cols else ""
+    grp = f"GROUP BY {cols}" if cols else ""
+    return f"""
+    WITH events AS (
+      SELECT {sel}{min_col} AS k, 1 AS d FROM {stats_rel}
+      UNION ALL
+      SELECT {sel}{max_col} AS k, -1 AS d FROM {stats_rel}
+    ), swept AS (
+      SELECT {sel}SUM(d) OVER ({part}ORDER BY k, d DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      FROM events
+    )
+    SELECT {sel}CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_files
+    FROM swept {grp}
+    """

@@ -102,3 +102,51 @@ def test_catalog_manifest_roundtrip(spark, tmp_path):
     assert (out["action"] == "rewrite").all()
     n_groups = out.groupby("p")["group_id"].nunique().sum()
     assert n_groups < len(manifest)  # the plan actually reduces file count
+
+
+def test_manifest_diff_classification(spark):
+    from fairy_core_spark.operators.maintenance import manifest_diff
+
+    old = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "path string, bytes long"
+    )
+    new = spark.createDataFrame(
+        [("b", 20), ("c", 31), ("d", 40)], "path string, bytes long"
+    )
+    got = {r["path"]: r["status"] for r in manifest_diff(old, new).collect()}
+    assert got == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+
+
+def test_clustering_depth_vs_bruteforce(spark):
+    """sweep-line max depth == brute-force point-stabbing over every
+    interval endpoint, on deterministic overlapping ranges."""
+    import numpy as np
+
+    from fairy_core_spark.operators.maintenance import clustering_depth
+
+    ids = np.arange(300)
+    parts = ids % 3
+    mins = (ids * 29) % 500
+    maxs = mins + (ids * 7) % 80 + 1
+    stats = spark.createDataFrame(
+        [(int(p), int(a), int(b)) for p, a, b in zip(parts, mins, maxs)],
+        "part long, min_key long, max_key long",
+    )
+    got = {
+        r["part"]: (r["max_depth"], r["n_files"])
+        for r in clustering_depth(stats, partition_cols=("part",)).collect()
+    }
+    for p in (0, 1, 2):
+        m = parts == p
+        a, b = mins[m], maxs[m]
+        depth = max(
+            int(((a <= k) & (k <= b)).sum()) for k in np.concatenate([a, b])
+        )
+        assert got[p] == (depth, int(m.sum()))
+
+    # a perfectly clustered (disjoint) layout reads depth 1
+    flat = spark.createDataFrame(
+        [(i * 10, i * 10 + 9) for i in range(20)], "min_key long, max_key long"
+    )
+    row = clustering_depth(flat).collect()[0]
+    assert (row["max_depth"], row["n_files"]) == (1, 20)
