@@ -92,6 +92,18 @@ def main() -> int:
         ),
     )
 
+    from fairy_core_spark.spatial.ops import s2_pyramid
+
+    run(
+        "s2_pyramid_l12_8_4",
+        lambda: s2_pyramid(
+            with_cell(pts, level=12, out="cell"), cell_col="cell",
+            levels=(12, 8, 4),
+        )
+        .groupBy("res", "cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("lat"), F.avg("lon")),
+    )
+
     queries = pts.where(F.col("pid") % (n // n_q) == 0).withColumnRenamed(
         "pid", "query_id"
     ).cache()
