@@ -145,3 +145,31 @@ def quota_sample_sql(table: str, group: str, key: str, quota: int, salt: str = "
       FROM {table}
     ) WHERE __r <= {quota}
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    splits: dict[str, int] | None = None,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """:func:`hash_split` keyed on the near-dup GROUP instead of the row id:
+    every member of a dup group (a connected component of dedup pairs,
+    operators/dedup.connected_components) lands in the same split, closing
+    the classic eval-leakage hole where train and test each keep one copy
+    of a duplicated document. Rows absent from ``groups`` key on their own
+    id (a group of one), so the assignment is unchanged for unique docs.
+
+    ``groups`` is (id, group_id) — usually a small fraction of the corpus;
+    the left equi-join broadcasts under AQE when it is, and is an ordinary
+    shuffle join when it is not. Determinism: group_id is the component's
+    min member id, itself content-stable, so the split survives
+    recomputation and repartitioning."""
+    g = groups.select(F.col(id_col), F.col(group_col).alias("__gkey"))
+    keyed = df.join(g, id_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("__gkey"), F.col(id_col))
+    )
+    return hash_split(keyed, "__skey", splits, salt, out).drop("__gkey", "__skey")

@@ -78,3 +78,39 @@ def test_quota_sample_caps_and_is_partition_invariant(spark, docs):
 
     with _pytest.raises(ValueError):
         quota_sample(docs, "source", "doc_id", 0)
+
+
+def test_leakage_safe_split_group_integrity(spark):
+    from fairy_core_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    # 200 groups of width 5: members 5k..5k+4 -> group min 5k
+    groups = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") - F.col("id") % 5).alias("group_id")
+    )
+    out = leakage_safe_split(docs, groups)
+    assert out.count() == 2000 and set(out.columns) == {"doc_id", "split"}
+
+    # no group straddles the split boundary
+    joined = out.join(groups, "doc_id")
+    spans = (
+        joined.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    # ungrouped docs get exactly their plain hash_split assignment
+    from fairy_core_spark.operators.sampling import hash_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    for d in range(1000, 2000):
+        assert got[d] == plain[d]
+    # and a whole group carries its min-member's assignment
+    for d in range(0, 1000):
+        assert got[d] == plain[d - d % 5]
