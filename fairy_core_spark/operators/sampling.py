@@ -173,3 +173,70 @@ def leakage_safe_split(
         "__skey", F.coalesce(F.col("__gkey"), F.col(id_col))
     )
     return hash_split(keyed, "__skey", splits, salt, out).drop("__gkey", "__skey")
+
+
+def _isqrt_col(n: Column) -> Column:
+    """Exact integer sqrt of a non-negative long Column: floor(sqrt(double))
+    plus a +-1 integer fix-up, so the result is correct even when the
+    double rounds across the boundary (error beyond +-1 is impossible for
+    n < 2^52). Engine-portable: the same fix-up runs in the DuckDB twin."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    s1 = s0 + F.when((s0 + 1) * (s0 + 1) <= n, 1).otherwise(0)
+    return s1 - F.when(s1 * s1 > n, 1).otherwise(0)
+
+
+def quota_sample_scaled(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """Sublinear per-group quota: cap_g = m * isqrt(|g|) — the
+    sqrt-temperature mixture heuristic (suppress head domains, keep the
+    tail): a 1M-doc domain keeps 1000*m docs, a 100-doc domain keeps
+    10*m. Same content-stable md5 ranking as :func:`quota_sample`, and
+    the group size rides the SAME window partition as an unbounded
+    windowed count — one shuffle total, no separate counts join."""
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    salted = (
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    wn = Window.partitionBy(group_col)
+    cap = _isqrt_col(F.count(F.lit(1)).over(wn)) * m
+    return (
+        df.withColumn("__qs_rank", F.row_number().over(w))
+        .withColumn("__qs_cap", cap)
+        .where(F.col("__qs_rank") <= F.col("__qs_cap"))
+        .drop("__qs_rank", "__qs_cap")
+    )
+
+
+def quota_sample_scaled_sql(
+    table: str, group: str, key: str, m: int = 1, salt: str = ""
+) -> str:
+    """DuckDB replay of :func:`quota_sample_scaled` — same hash rank, same
+    windowed count, same exact-isqrt fix-up."""
+    expr = f"'{salt}' || CAST({key} AS VARCHAR)" if salt else f"CAST({key} AS VARCHAR)"
+    return f"""
+    SELECT * EXCLUDE (__h, __r, __n, __s1, __s2, __s) FROM (
+      SELECT *, __s2 - CASE WHEN __s2 * __s2 > __n THEN 1 ELSE 0 END AS __s
+      FROM (
+        SELECT *, __s1 + CASE WHEN (__s1 + 1) * (__s1 + 1) <= __n THEN 1 ELSE 0 END AS __s2
+        FROM (
+          SELECT *, ('0x' || substring(md5({expr}), 1, 15))::BIGINT AS __h,
+                 ROW_NUMBER() OVER (PARTITION BY {group} ORDER BY __h ASC, {key} ASC) AS __r,
+                 COUNT(*) OVER (PARTITION BY {group}) AS __n,
+                 CAST(FLOOR(SQRT(CAST(COUNT(*) OVER (PARTITION BY {group}) AS DOUBLE))) AS BIGINT) AS __s1
+          FROM {table}
+        )
+      )
+    ) WHERE __r <= __s * {int(m)}
+    """

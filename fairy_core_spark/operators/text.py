@@ -347,3 +347,32 @@ def canonical_url(col: Column) -> Column:
     return F.concat(
         head, path, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))
     )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc corpus-frequency profile of its tokens: (id, n_tokens,
+    sum_token_freq, min_token_freq) — the integer-exact form of unigram
+    surprisal ranking (low min/mean corpus frequency = rare vocabulary;
+    high = boilerplate), a standard quality/diversity signal that avoids
+    float logs entirely so the DuckDB oracle matches bit-for-bit. Empty
+    docs are dropped (no tokens to profile).
+
+    Scale: explode -> global token counts (vocab-sized, map-side combined)
+    -> equi-join back (vocab frame is small next to the corpus; AQE
+    broadcasts it) -> per-doc agg. The doc text never shuffles — only
+    (id, token) pairs."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).where(F.col("__tok") != "")
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    return (
+        toks.join(freq, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__freq").alias("sum_token_freq"),
+            F.min("__freq").alias("min_token_freq"),
+        )
+    )

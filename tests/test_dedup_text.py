@@ -424,3 +424,21 @@ def test_canonical_url_contract(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_token_rarity_hand_counts(spark):
+    from fairy_core_spark.operators.text import token_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the rare"),     # 'the' freq 3, 'rare' freq 1
+            (2, "the common common"),  # 'common' freq 2
+            (3, "   "),             # empty -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_token_freq"], r["min_token_freq"])
+        for r in token_rarity(docs).collect()
+    }
+    assert got == {1: (3, 7, 1), 2: (3, 7, 2)}

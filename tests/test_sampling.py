@@ -114,3 +114,39 @@ def test_leakage_safe_split_group_integrity(spark):
     # and a whole group carries its min-member's assignment
     for d in range(0, 1000):
         assert got[d] == plain[d - d % 5]
+
+
+def test_quota_sample_scaled_sqrt_caps(spark):
+    from fairy_core_spark.operators.sampling import _isqrt_col, quota_sample_scaled
+
+    # isqrt exactness around perfect squares (the double-rounding hazard)
+    vals = []
+    for r in (0, 1, 2, 3, 10, 99, 100, 2**20, 2**26 - 1):
+        for n in (r * r - 1, r * r, r * r + 1):
+            if n >= 0:
+                vals.append(n)
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = df.select("n", _isqrt_col(F.col("n")).alias("s")).collect()
+    import math
+
+    for row in got:
+        assert row["s"] == math.isqrt(row["n"]), (row["n"], row["s"])
+
+    # caps: group sizes 100 / 25 / 4 -> keep 10m / 5m / 2m
+    rows = [(i, "big") for i in range(100)]
+    rows += [(1000 + i, "mid") for i in range(25)]
+    rows += [(2000 + i, "tiny") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = quota_sample_scaled(docs, "source", "doc_id", m=2)
+    sizes = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"big": 20, "mid": 10, "tiny": 4}
+    # partition invariance (content-stable ranking)
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in quota_sample_scaled(docs.repartition(11), "source", "doc_id", m=2).collect()
+    }
+    assert a == b
