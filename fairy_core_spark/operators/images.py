@@ -244,3 +244,55 @@ def caption_exact_dups(images: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("image_id").alias("keeper_id"))
         .where(F.col("n") > 1)
     )
+
+
+PIXEL_STATS_SCHEMA = (
+    "image_id string, n_px long, px_sum long, px_sqsum long,"
+    " px_min int, px_max int"
+)
+
+
+def image_pixel_stats(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, px_sum, px_sqsum, px_min, px_max) in ONE Arrow
+    decode pass — integer-exact moments over every channel value, the
+    inputs to the standard low-information filters (near-solid: px_max -
+    px_min small; low-variance: n*sqsum - sum^2 below threshold — both
+    pure integer predicates downstream, no UDF). Undecodable rows are
+    dropped (the validate stage owns reporting them). px_sqsum stays far
+    inside int64 (64x64x3 x 255^2 ~ 8e8)."""
+    from fairy_core_spark.functions.image_codec import decode_image
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_px", "px_sum", "px_sqsum", "px_min", "px_max")}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                except Exception:
+                    continue
+                v = px.astype(np.int64)
+                out["image_id"].append(iid)
+                out["n_px"].append(int(v.size))
+                out["px_sum"].append(int(v.sum()))
+                out["px_sqsum"].append(int((v * v).sum()))
+                out["px_min"].append(int(v.min()))
+                out["px_max"].append(int(v.max()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def flag_low_information(
+    stats: DataFrame, max_range: int = 8, var_numerator_per_px: int = 25
+) -> DataFrame:
+    """stats + info_flag: 'near_solid' when the full value range is within
+    ``max_range``; 'low_variance' when the integer variance numerator
+    n*sqsum - sum^2 < var_numerator_per_px * n^2 (i.e. variance below the
+    threshold without ever dividing); NULL otherwise. Pure Column math."""
+    rng = F.col("px_max") - F.col("px_min")
+    var_num = F.col("n_px") * F.col("px_sqsum") - F.col("px_sum") * F.col("px_sum")
+    flag = (
+        F.when(rng <= max_range, "near_solid")
+        .when(var_num < F.lit(int(var_numerator_per_px)) * F.col("n_px") * F.col("n_px"), "low_variance")
+    )
+    return stats.withColumn("info_flag", flag)

@@ -113,3 +113,44 @@ def test_regen_sql_matches_datagen(dirty_every):
     got["w"] = got["w"].astype(want["w"].dtype)
     got["h"] = got["h"].astype(want["h"].dtype)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pixel_stats_hand_counts(spark):
+    """integer moments over hand-built images, incl. the quantized (lossy)
+    codec path and undecodable-row drop; low-information flags."""
+    import numpy as np
+
+    from fairy_core_spark.functions.image_codec import decode_image, encode_image
+    from fairy_core_spark.operators.images import flag_low_information, image_pixel_stats
+
+    solid = np.full((4, 4, 3), 100, dtype=np.uint8)
+    grad = np.zeros((2, 3, 3), dtype=np.uint8)
+    grad[..., 0] = np.array([[0, 100, 200], [0, 100, 200]])  # g=b=0
+    rows = [
+        ("solid", bytearray(encode_image(solid, "ppm")), 4, 4, "ppm", "c", 0),
+        ("grad", bytearray(encode_image(grad, "ppm")), 3, 2, "ppm", "c", 0),
+        ("qsolid", bytearray(encode_image(solid, "qnt")), 4, 4, "qnt", "c", 0),
+        ("broken", bytearray(b"xx"), 4, 4, "ppm", "c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    got = {r["image_id"]: r.asDict() for r in image_pixel_stats(df).collect()}
+    assert set(got) == {"solid", "grad", "qsolid"}  # broken dropped
+    assert got["solid"]["n_px"] == 48 and got["solid"]["px_sum"] == 4800
+    assert got["solid"]["px_sqsum"] == 48 * 100 * 100
+    assert (got["solid"]["px_min"], got["solid"]["px_max"]) == (100, 100)
+    # gradient: channel r sums 2*(0+100+200)=600 over 18 values
+    assert got["grad"]["n_px"] == 18 and got["grad"]["px_sum"] == 600
+    assert got["grad"]["px_sqsum"] == 2 * (100**2 + 200**2)
+    # qnt decode is (v >> 2) * 4 + 2 -> 100 -> 102
+    q = decode_image(bytes(rows[2][1]), "qnt")
+    assert int(q[0, 0, 0]) == 102
+    assert got["qsolid"]["px_sum"] == 48 * 102
+
+    flags = {
+        r["image_id"]: r["info_flag"]
+        for r in flag_low_information(image_pixel_stats(df)).collect()
+    }
+    assert flags["solid"] == "near_solid" and flags["qsolid"] == "near_solid"
+    assert flags["grad"] is None  # full-range gradient: informative
