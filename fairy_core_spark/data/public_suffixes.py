@@ -22,6 +22,10 @@ PSL_MULTI: tuple[str, ...] = (
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # nested under edu.au (verbatim PSL state-education rules) — these make
+    # the snapshot contain suffix pairs where one is a suffix of the other,
+    # which is what pins longest-match precedence in the probing code
+    "act.edu.au", "nsw.edu.au", "vic.edu.au", "qld.edu.au",
     "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
     "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "mil.kr", "ac.kr",

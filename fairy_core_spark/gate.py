@@ -178,11 +178,14 @@ def _entry_parts(fn, sources: dict[str, tuple[Path, str]]) -> tuple[list[str], s
                     visit(val)  # registry-local helper: hash per-object
                 elif mod in sources:
                     seeds.add(mod)
-            elif not callable(val) and isinstance(
-                val, (str, bytes, int, float, tuple, frozenset, list, dict, set)
-            ):
-                # module-level data constant (frozen goldens, fraction maps,
-                # rect tables) — hash its value, wherever it was defined
+            elif not callable(val) and isinstance(val, (str, bytes, int, float, tuple)):
+                # module-level IMMUTABLE constant — hash its value, wherever
+                # it was defined. Mutable containers (list/dict/set) are
+                # deliberately NOT hashed: runtime caches like queries._MEMO
+                # mutate between calls (making fingerprints state-dependent)
+                # and set/frozenset reprs reorder under PYTHONHASHSEED.
+                # Frozen golden lists still flip fingerprints through (b):
+                # every oracle embeds their values in its SQL text.
                 texts.append(f"{n}={val!r}")
     visit(fn)
     return texts, seeds

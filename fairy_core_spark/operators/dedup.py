@@ -466,7 +466,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    if persist:
+    if persist and hot_bucket_cap is None:
+        # with the cap, `sized` below is the frame every consumer reads —
+        # persisting banded too would cache two near-identical copies
         banded = banded.persist()
     if hot_bucket_cap is not None:
         from pyspark.sql import Window

@@ -286,13 +286,17 @@ def flag_low_information(
     stats: DataFrame, max_range: int = 8, var_numerator_per_px: int = 25
 ) -> DataFrame:
     """stats + info_flag: 'near_solid' when the full value range is within
-    ``max_range``; 'low_variance' when the integer variance numerator
-    n*sqsum - sum^2 < var_numerator_per_px * n^2 (i.e. variance below the
-    threshold without ever dividing); NULL otherwise. Pure Column math."""
+    ``max_range``; 'low_variance' when sqsum/n - (sum/n)^2 <
+    ``var_numerator_per_px`` (variance in squared-value units); NULL
+    otherwise. The variance test divides FIRST (decimal(38,6) mean) —
+    the n*sqsum - sum^2 integer form overflows int64 past ~1.2e7 channel
+    values (a 2000x2000 image), which at 10^12-image scale is routine."""
     rng = F.col("px_max") - F.col("px_min")
-    var_num = F.col("n_px") * F.col("px_sqsum") - F.col("px_sum") * F.col("px_sum")
+    n = F.col("n_px").cast("decimal(38,6)")
+    mean = F.col("px_sum").cast("decimal(38,6)") / n
+    var = F.col("px_sqsum").cast("decimal(38,6)") / n - mean * mean
     flag = (
         F.when(rng <= max_range, "near_solid")
-        .when(var_num < F.lit(int(var_numerator_per_px)) * F.col("n_px") * F.col("n_px"), "low_variance")
+        .when(var < F.lit(int(var_numerator_per_px)), "low_variance")
     )
     return stats.withColumn("info_flag", flag)

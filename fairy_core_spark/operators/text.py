@@ -297,11 +297,17 @@ def registered_domain(host: Column) -> Column:
             F.slice(labels, F.greatest(n - cnt + 1, F.lit(1)), F.lit(cnt)), "."
         )
 
-    out = F.when(n >= 2, tail(2)).otherwise(host)
-    # longest match wins: probe 3-label suffixes before 2-label ones
+    # longest match wins: the when-chain is evaluated FIRST-match-first in
+    # Spark, so the largest label count must be the FIRST .when added
+    # (wrapping earlier probes as otherwise() would invert precedence to
+    # shortest-match — the bug a nested suffix pair like edu.au /
+    # act.edu.au exposes)
+    out = None
     for k, sufs in suffixes_by_labels().items():  # descending label count
-        out = F.when((n >= k + 1) & tail(k).isin(sufs), tail(k + 1)).otherwise(out)
-    return out
+        cond = (n >= k + 1) & tail(k).isin(sufs)
+        out = F.when(cond, tail(k + 1)) if out is None else out.when(cond, tail(k + 1))
+    default = F.when(n >= 2, tail(2)).otherwise(host)
+    return default if out is None else out.otherwise(default)
 
 
 def registered_domain_sql(host_expr: str) -> str:
@@ -310,14 +316,17 @@ def registered_domain_sql(host_expr: str) -> str:
     from fairy_core_spark.data.public_suffixes import suffixes_by_labels
 
     e = f"str_split(({host_expr}), '.')"
-    out = f"CASE WHEN len({e}) >= 2 THEN array_to_string({e}[-2:], '.') ELSE ({host_expr}) END"
-    for k, sufs in suffixes_by_labels().items():
+    # same precedence as the Column chain: one CASE whose WHEN clauses run
+    # longest-suffix-first (SQL CASE is first-match-first)
+    whens = []
+    for k, sufs in suffixes_by_labels().items():  # descending label count
         lits = ", ".join(f"'{s}'" for s in sufs)
-        out = (
-            f"CASE WHEN len({e}) >= {k + 1} AND array_to_string({e}[-{k}:], '.') "
-            f"IN ({lits}) THEN array_to_string({e}[-{k + 1}:], '.') ELSE ({out}) END"
+        whens.append(
+            f"WHEN len({e}) >= {k + 1} AND array_to_string({e}[-{k}:], '.') "
+            f"IN ({lits}) THEN array_to_string({e}[-{k + 1}:], '.')"
         )
-    return out
+    whens.append(f"WHEN len({e}) >= 2 THEN array_to_string({e}[-2:], '.')")
+    return "CASE " + " ".join(whens) + f" ELSE ({host_expr}) END"
 
 
 def canonical_url(col: Column) -> Column:

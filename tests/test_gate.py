@@ -100,3 +100,18 @@ def test_registry_dicts_complete_and_aligned():
     assert set(qs) == set(_QUERIES)
     assert set(os_) == set(_ORACLES)
     assert set(os_) <= set(qs)
+
+
+def test_fingerprints_ignore_runtime_cache_state():
+    """mutable module globals (queries._MEMO and friends) must not leak
+    into fingerprints — a populated cache would flip every memo-backed
+    entry to 'changed' and hijack the budget window."""
+    from fairy_core_spark import gate, queries as Q
+
+    before = gate.entry_fingerprints(Q._QUERIES, Q._ORACLES)
+    Q._MEMO[("app-123", "sentinel")] = object()
+    try:
+        after = gate.entry_fingerprints(Q._QUERIES, Q._ORACLES)
+    finally:
+        Q._MEMO.pop(("app-123", "sentinel"), None)
+    assert before == after

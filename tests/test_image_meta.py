@@ -154,3 +154,37 @@ def test_pixel_stats_hand_counts(spark):
     }
     assert flags["solid"] == "near_solid" and flags["qsolid"] == "near_solid"
     assert flags["grad"] is None  # full-range gradient: informative
+
+
+def test_low_information_no_int64_overflow(spark):
+    """a large high-variance image (n_px big enough that n*sqsum would
+    overflow int64) must not be flagged."""
+    n = 2500 * 2500 * 3  # 1.875e7 channel values
+    # uniform-ish spread: half 0s, half 255s -> variance ~ 16256
+    sum_ = (n // 2) * 255
+    sq = (n // 2) * 255 * 255
+    assert n * sq > 2**63  # the old integer form really would overflow
+    df = spark.createDataFrame(
+        [("big", n, sum_, sq, 0, 255)],
+        "image_id string, n_px long, px_sum long, px_sqsum long, px_min int, px_max int",
+    )
+    from fairy_core_spark.operators.images import flag_low_information
+
+    row = flag_low_information(df).collect()[0]
+    assert row["info_flag"] is None
+
+
+def test_caption_body_separator_in_body_cross_engine(spark):
+    """the cross-engine body contract: everything after the FIRST ': '
+    (Spark limit-2 split == DuckDB strpos/substr), pinned on a caption
+    whose body itself contains the separator."""
+    cap = "caption for x1: lorem: ipsum"
+    rows = [("x1", 48, 48, "ppm", cap), ("x2", 48, 48, "ppm", "caption for x2: lorem: ipsum")]
+    out = caption_exact_dups(_df(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["caption_body"] == "lorem: ipsum"
+    got = duckdb.sql(
+        "SELECT CASE WHEN strpos(caption, ': ') > 0"
+        " THEN substr(caption, strpos(caption, ': ') + 2) END AS b"
+        f" FROM (VALUES ('{cap}')) t(caption)"
+    ).fetchone()[0]
+    assert got == "lorem: ipsum"

@@ -33,6 +33,12 @@ HOSTS = [
     "example.xyz",     # one-label TLD via the default rule
     "sub.example.com.br",
     "example.waw.pl",
+    # nested suffix pair (edu.au AND act.edu.au both listed): longest match
+    # must win — the inverted (shortest-first) chain returns 'act.edu.au'
+    "school.act.edu.au",
+    "www.school.act.edu.au",
+    "uni.edu.au",       # only the 2-label suffix matches
+    "act.edu.au",       # host == the 3-label suffix: default last-2... see EXPECT
     "",
 ]
 
@@ -54,6 +60,12 @@ EXPECT = {
     "example.xyz": "example.xyz",
     "sub.example.com.br": "example.com.br",
     "example.waw.pl": "example.waw.pl",
+    "school.act.edu.au": "school.act.edu.au",
+    "www.school.act.edu.au": "school.act.edu.au",
+    "uni.edu.au": "uni.edu.au",
+    # host IS the 3-label suffix: no PROPER longer suffix matches, but the
+    # 2-label probe ('edu.au', a proper suffix here) fires -> itself
+    "act.edu.au": "act.edu.au",
     "": "",
 }
 
