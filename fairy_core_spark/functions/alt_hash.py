@@ -27,20 +27,9 @@ from typing import Iterator
 
 import numpy as np
 
-_LUMA = np.array([0.299, 0.587, 0.114])
-
-
-def _gray_pool_stack(stack: np.ndarray, gh: int, gw: int) -> np.ndarray:
-    """(N, h, w, 3) uint8 -> (N, gh, gw) float64 grayscale; exact block
-    mean when h % gh == 0 and w % gw == 0, else nearest-index resample
-    (the phash.py rule, generalized to a non-square grid)."""
-    n, h, w, _ = stack.shape
-    gray = stack @ _LUMA
-    if h % gh or w % gw:
-        yi = (np.arange(gh) * h // gh).clip(0, h - 1)
-        xi = (np.arange(gw) * w // gw).clip(0, w - 1)
-        return gray[:, yi][:, :, xi]
-    return gray.reshape(n, gh, h // gh, gw, w // gw).mean(axis=(2, 4))
+# the shared grayscale/pool kernel lives with pHash so all three hashes
+# read the SAME implementation (cross-hash semantics cannot drift)
+from fairy_core_spark.functions.phash import gray_pool_stack as _gray_pool_stack
 
 
 def _pack_bits64(bits: np.ndarray) -> np.ndarray:

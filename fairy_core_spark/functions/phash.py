@@ -29,17 +29,27 @@ def _dct_matrix(n: int) -> np.ndarray:
     return m
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def gray_pool_stack(stack: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """(N, h, w, 3) uint8 -> (N, gh, gw) float64 grayscale via BT.601 luma:
+    exact block mean when h % gh == 0 and w % gw == 0, else nearest-index
+    resample. The ONE grayscale/pool rule every image hash (pHash, dHash,
+    aHash) sees — shared so the cross-hash "identical grayscale semantics"
+    contract cannot drift between hand-copied implementations."""
+    n, h, w, _ = stack.shape
+    gray = stack @ _LUMA
+    if h % gh or w % gw:
+        yi = (np.arange(gh) * h // gh).clip(0, h - 1)
+        xi = (np.arange(gw) * w // gw).clip(0, w - 1)
+        return gray[:, yi][:, :, xi]
+    return gray.reshape(n, gh, h // gh, gw, w // gw).mean(axis=(2, 4))
+
+
 def _to_gray_32(pixels: np.ndarray) -> np.ndarray:
-    """uint8 HxWx3 -> float64 32x32 grayscale via BT.601 luma + area pooling
-    (exact mean over h/32 x w/32 blocks when divisible; nearest-resample
-    first otherwise)."""
-    h, w, _ = pixels.shape
-    gray = pixels @ np.array([0.299, 0.587, 0.114])
-    if h % 32 or w % 32:
-        yi = (np.arange(32) * h // 32).clip(0, h - 1)
-        xi = (np.arange(32) * w // 32).clip(0, w - 1)
-        return gray[np.ix_(yi, xi)]
-    return gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    """uint8 HxWx3 -> float64 32x32 grayscale (scalar wrapper)."""
+    return gray_pool_stack(pixels[None], 32, 32)[0]
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -59,15 +69,9 @@ def phash64(pixels: np.ndarray) -> int:
 
 
 def _gray32_stack(stack: np.ndarray) -> np.ndarray:
-    """(N, h, w, 3) uint8 -> (N, 32, 32) float64 grayscale; same
-    pooling/resample rule as :func:`_to_gray_32`, vectorized over N."""
-    n, h, w, _ = stack.shape
-    gray = stack @ np.array([0.299, 0.587, 0.114])
-    if h % 32 or w % 32:
-        yi = (np.arange(32) * h // 32).clip(0, h - 1)
-        xi = (np.arange(32) * w // 32).clip(0, w - 1)
-        return gray[:, yi][:, :, xi]
-    return gray.reshape(n, 32, h // 32, 32, w // 32).mean(axis=(2, 4))
+    """(N, h, w, 3) uint8 -> (N, 32, 32) float64 grayscale (32x32 form of
+    :func:`gray_pool_stack`)."""
+    return gray_pool_stack(stack, 32, 32)
 
 
 def phash64_stack(stack: np.ndarray) -> np.ndarray:

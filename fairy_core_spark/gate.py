@@ -77,9 +77,12 @@ def _package_sources() -> dict[str, tuple[Path, str]]:
     return out
 
 
-def _imports_of(src: str, this_mod: str) -> set[str]:
+def _imports_of(src: str, this_mod: str, is_pkg: bool = False) -> set[str]:
     """Package-internal module names imported anywhere in ``src``
-    (top-level and function-local, absolute and relative)."""
+    (top-level and function-local, absolute and relative). ``is_pkg``:
+    ``src`` is a package ``__init__`` — level-1 relative imports then
+    resolve against the package itself, not its parent (``from . import x``
+    in ``a/b/__init__.py`` means ``a.b.x``, not ``a.x``)."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
@@ -93,7 +96,8 @@ def _imports_of(src: str, this_mod: str) -> set[str]:
                     found.add(a.name)
         elif isinstance(node, ast.ImportFrom):
             if node.level:  # relative: resolve against this module's package
-                base = pkg_parts[: len(pkg_parts) - node.level]
+                drop = node.level - 1 if is_pkg else node.level
+                base = pkg_parts[: len(pkg_parts) - drop]
                 mod = ".".join(base + ([node.module] if node.module else []))
             else:
                 mod = node.module or ""
@@ -157,7 +161,13 @@ def _entry_parts(fn, sources: dict[str, tuple[Path, str]]) -> tuple[list[str], s
         try:
             src = inspect.getsource(obj)
         except (OSError, TypeError):
-            src = repr(obj)
+            # repr(fn) embeds a memory address (new every process) — a
+            # stable sentinel keeps fingerprints deterministic when source
+            # is unavailable (pyc-only / zipped installs)
+            src = (
+                f"<nosource:{getattr(obj, '__module__', '?')}."
+                f"{getattr(obj, '__qualname__', '?')}>"
+            )
         texts.append(src)
         seeds.update(m for m in _imports_of(src, entry_mod) if m in sources)
         for m in re.findall(rf"{_PKG}(?:\.\w+)+", src):
@@ -194,7 +204,10 @@ def _entry_parts(fn, sources: dict[str, tuple[Path, str]]) -> tuple[list[str], s
 def entry_fingerprints(queries: dict, oracles: dict) -> dict[str, str]:
     """name -> sha256 fingerprint of the entry's full implementation."""
     sources = _package_sources()
-    graph = {m: _imports_of(src, m) & sources.keys() for m, (_, src) in sources.items()}
+    graph = {
+        m: _imports_of(src, m, is_pkg=(p.name == "__init__.py")) & sources.keys()
+        for m, (p, src) in sources.items()
+    }
     file_hash = {
         m: hashlib.sha256(src.encode()).hexdigest() for m, (_, src) in sources.items()
     }

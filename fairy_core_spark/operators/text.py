@@ -287,6 +287,11 @@ def registered_domain(host: Column) -> Column:
     and every wiki subdomain as separate domains."""
     from fairy_core_spark.data.public_suffixes import suffixes_by_labels
 
+    # FQDN form: a trailing dot is legal in URLs ('example.com.') and the
+    # reference registered_domain_py rstrips it; without this the empty
+    # last label defeats every suffix probe and the default rule returns
+    # 'com.' — collapsing all trailing-dot hosts of a TLD into one key
+    host = F.regexp_replace(host, r"\.+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
@@ -315,6 +320,7 @@ def registered_domain_sql(host_expr: str) -> str:
     same longest-match-then-+1-label arithmetic) for oracle parity."""
     from fairy_core_spark.data.public_suffixes import suffixes_by_labels
 
+    host_expr = f"regexp_replace(({host_expr}), '\\.+$', '')"  # FQDN dot
     e = f"str_split(({host_expr}), '.')"
     # same precedence as the Column chain: one CASE whose WHEN clauses run
     # longest-suffix-first (SQL CASE is first-match-first)

@@ -82,27 +82,12 @@ print("RESULT " + json.dumps({{"cpus": cpus, "times": times}}))
 
 
 def _membw(nproc: int) -> float:
-    """Aggregate memcpy GB/s with nproc processes (host-ceiling probe)."""
-    import numpy as np
+    """Aggregate memcpy GB/s with nproc processes (host-ceiling probe).
+    Delegates to bench._membw_gbs so the two artifacts' probe readings stay
+    comparable by construction (one implementation, one convention)."""
+    from bench import _membw_gbs
 
-    def churn(q):
-        src = np.frombuffer(np.random.bytes(64 * 1024 * 1024), dtype=np.uint8)
-        dst = np.empty_like(src)
-        t_end = time.monotonic() + 3.0
-        n = 0
-        while time.monotonic() < t_end:
-            np.copyto(dst, src)
-            n += 1
-        q.put(n * 64 / 1024)
-
-    q = multiprocessing.Queue()
-    ps = [multiprocessing.Process(target=churn, args=(q,)) for _ in range(nproc)]
-    for p in ps:
-        p.start()
-    tot = sum(q.get() for _ in ps)
-    for p in ps:
-        p.join()
-    return tot / 3.0
+    return _membw_gbs(nproc, secs=3.0)
 
 
 def run_config(cpus: int, n_images: int, runs: int, inp: str, pin: bool = True) -> dict:

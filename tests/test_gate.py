@@ -92,7 +92,10 @@ def test_snapshot_file_matches_current_tree(fps):
         data = json.load(fh)
     snap = data["fingerprints"]
     assert len(snap) >= 50
-    assert set(snap) <= set(_QUERIES) | set(snap)  # parseable, keyed by name
+    # every snapshot key must name a live registry entry (entries are never
+    # removed mid-round); a stale/renamed snapshot would silently disable
+    # change-aware ordering by making everything read as "changed"
+    assert set(snap) <= set(_QUERIES)
 
 
 def test_registry_dicts_complete_and_aligned():

@@ -39,6 +39,10 @@ HOSTS = [
     "www.school.act.edu.au",
     "uni.edu.au",       # only the 2-label suffix matches
     "act.edu.au",       # host == the 3-label suffix: default last-2... see EXPECT
+    # FQDN trailing dot (legal in URLs): must key identically to the
+    # dotless host, not collapse to 'com.' / 'uk.'
+    "example.com.",
+    "www.example.co.uk.",
     "",
 ]
 
@@ -66,6 +70,8 @@ EXPECT = {
     # host IS the 3-label suffix: no PROPER longer suffix matches, but the
     # 2-label probe ('edu.au', a proper suffix here) fires -> itself
     "act.edu.au": "act.edu.au",
+    "example.com.": "example.com",
+    "www.example.co.uk.": "example.co.uk",
     "": "",
 }
 
