@@ -93,9 +93,10 @@ def registered_domain_py(host: str) -> str:
     a host that IS a suffix, or has no dot, returns itself."""
     if not host:
         return ""
-    labels = host.lower().rstrip(".").split(".")
+    h = host.lower().rstrip(".")  # FQDN trailing dot: key as the dotless host
+    labels = h.split(".")
     # longest PROPER multi-label suffix (strictly shorter than the host)
     for n in range(min(MAX_SUFFIX_LABELS, len(labels) - 1), 1, -1):
         if ".".join(labels[-n:]) in _PSL_SET:
             return ".".join(labels[-(n + 1):])
-    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+    return ".".join(labels[-2:]) if len(labels) >= 2 else h

@@ -131,3 +131,41 @@ def test_three_engines_agree_on_extra_hosts(spark, h):
         f"SELECT {registered_domain_sql('host')} FROM (VALUES ('{h}')) t(host)"
     ).fetchone()[0]
     assert got_spark == want == got_duck
+
+
+def test_three_engines_agree_on_random_hosts(spark):
+    """300 seeded random hosts over an adversarial alphabet — labels drawn
+    from suffix fragments (uk, co, edu, au, act, blogspot, com, ...) plus
+    noise, 1-6 labels, with/without trailing dot — Spark == DuckDB SQL ==
+    python reference on every one."""
+    import random
+
+    rng = random.Random(20260819)
+    frags = ["uk", "co", "edu", "au", "act", "nsw", "com", "net", "org",
+             "blogspot", "github", "io", "amazonaws", "s3", "example",
+             "www", "x", "a1", "waw", "pl", "gov"]
+    hosts = []
+    for _ in range(300):
+        n = rng.randint(1, 6)
+        h = ".".join(rng.choice(frags) for _ in range(n))
+        if rng.random() < 0.15:
+            h += "."
+        hosts.append(h)
+    hosts = sorted(set(hosts))
+
+    exp = {h: registered_domain_py(h) for h in hosts}
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got_spark = {
+        r["host"]: r["rd"]
+        for r in df.select("host", registered_domain(F.col("host")).alias("rd")).collect()
+    }
+    assert got_spark == exp
+
+    vals = ", ".join(f"('{h}')" for h in hosts)
+    got_sql = dict(
+        duckdb.sql(
+            f"SELECT host, {registered_domain_sql('host')} AS rd "
+            f"FROM (VALUES {vals}) t(host)"
+        ).fetchall()
+    )
+    assert got_sql == exp
