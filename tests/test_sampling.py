@@ -150,3 +150,33 @@ def test_quota_sample_scaled_sqrt_caps(spark):
         for r in quota_sample_scaled(docs.repartition(11), "source", "doc_id", m=2).collect()
     }
     assert a == b
+
+
+def test_hash_bucket_random_battery_vs_duckdb(spark):
+    """the md5 bucket primitive under every split/quota op: Spark
+    conv(substring(md5(k),1,15),16,10) % B == DuckDB
+    ('0x'||substring(md5(k),1,15))::BIGINT % B over 200 seeded random keys
+    incl. unicode, empties, and salt."""
+    import random
+
+    import duckdb
+
+    from fairy_core_spark.operators.sampling import _BUCKETS, _hash_bucket, hash_bucket_sql
+
+    rng = random.Random(20260819)
+    alpha = "abcXYZ0123 ._-/😀é中"
+    keys = {"".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))) for _ in range(200)}
+    keys = sorted(k for k in keys)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["b"] for r in df.select("k", _hash_bucket(F.col("k"), "s1").alias("b")).collect()
+    }
+    vals = ", ".join("(" + "'" + k.replace("'", "''") + "'" + ")" for k in keys)
+    exp = dict(
+        duckdb.sql(
+            f"SELECT k, {hash_bucket_sql('k', 's1')} AS b FROM (VALUES {vals}) t(k)"
+        ).fetchall()
+    )
+    assert got == exp and len(got) == len(keys)
+    assert all(0 <= b < _BUCKETS for b in got.values())

@@ -169,3 +169,60 @@ def test_three_engines_agree_on_random_hosts(spark):
         ).fetchall()
     )
     assert got_sql == exp
+
+
+def _canon_py(u: str) -> str:
+    """Independent python replay of canonical_url's 4 documented steps."""
+    import re
+
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", u)
+    head = m.group(0) if m else ""
+    rest = u[len(head):]
+    head = head.lower()
+    head = re.sub(r"^(https://[^/?#]*):443$", r"\1", head)
+    head = re.sub(r"^(http://[^/?#]*):80$", r"\1", head)
+    path = re.match(r"^[^?]*", rest).group(0)
+    qm = re.match(r"^[^?]*\?(.*)$", rest)
+    query = qm.group(1) if qm else ""
+    params = sorted(p for p in query.split("&") if p and not p.startswith("utm_"))
+    q2 = "&".join(params)
+    return head + path + ("?" + q2 if q2 else "")
+
+
+def test_canonical_url_random_battery(spark):
+    """200 seeded random URLs across the edge classes (schemes, default and
+    odd ports, userinfo, empty paths, utm-only queries, dup params, mixed
+    case, fragments, schemeless strings): Spark == the independent python
+    replay of the documented contract."""
+    import random
+
+    from fairy_core_spark.operators.text import canonical_url
+
+    rng = random.Random(20260819)
+    schemes = ["https", "http", "HTTPS", "HtTp", "ftp"]
+    hostparts = ["Example.COM", "a.b.ORG", "x.co.uk", "127.0.0.1"]
+    ports = ["", ":443", ":80", ":8080"]
+    users = ["", "user@", "u:p@"]
+    paths = ["", "/", "/Path/To/X", "/a%20b"]
+    params = ["", "a=1", "utm_source=x", "b=2", "a=1&a=0", "utm_a=1&utm_b=2",
+              "z=9&b=2&a=1", "&&a=1&"]
+    frags = ["", "#sec", "#a?b=1"]
+    urls = []
+    for _ in range(200):
+        u = (rng.choice(schemes) + "://" + rng.choice(users)
+             + rng.choice(hostparts) + rng.choice(ports)
+             + rng.choice(paths)
+             + ("?" + rng.choice(params) if rng.random() < 0.8 else "")
+             + rng.choice(frags))
+        urls.append(u)
+    urls += ["no-scheme-at-all", "https://", "http://h:80", "https://H:443/?utm_x=1"]
+    urls = sorted(set(urls))
+
+    exp = {u: _canon_py(u) for u in urls}
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == exp
