@@ -45,13 +45,21 @@ def north_pipeline(
     n_partitions: int | None = None,
     broadcast_geo: bool = True,
     cell_scheme: str = "s2",
+    pyramid_levels: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """images + geo + polygons -> per-tile rollup DataFrame (one action).
 
     ``cell_scheme``: "s2" (default; level 12 ~ H3 res 7 cell area) or
     "hex7" (aperture-7 hexagonal tiles, spatial/hex7.py — pass a hex7
     res as ``level``, e.g. 7). The plan shape is identical either way:
-    both encoders are one Arrow projection."""
+    both encoders are one Arrow projection.
+
+    ``pyramid_levels``: None (default) emits the one-level rollup keyed
+    by tile_id — the benchmarked shape, bit-identical to before this
+    option existed. A tuple like (12, 8, 4) (max must equal ``level``)
+    emits the multi-resolution rollup keyed by (res, cell): the pyramid
+    explode is one codegen Generate(stack) riding the same single decode
+    pass and the same one repartition — all levels for one shuffle."""
     checked = with_image_checks(images)
     valid = checked.where(
         F.col("decode_ok") & F.col("dims_ok") & F.col("caption_ok")
@@ -79,4 +87,16 @@ def north_pipeline(
     tiled = annotated.withColumn("tile_prefix", prefix).repartition(
         n_partitions, "tile_prefix"
     )
-    return tile_aggregates_annotated(tiled)
+    if pyramid_levels is None:
+        return tile_aggregates_annotated(tiled)
+    if max(int(l) for l in pyramid_levels) != level:
+        raise ValueError(
+            f"max(pyramid_levels) must equal the encode level {level}, "
+            f"got {pyramid_levels}"
+        )
+    if cell_scheme == "hex7":
+        from fairy_core_spark.spatial.hex7_ops import hex7_pyramid as _pyr
+    else:
+        from fairy_core_spark.spatial.ops import s2_pyramid as _pyr
+    stacked = _pyr(tiled, cell_col="tile_id", levels=pyramid_levels)
+    return tile_aggregates_annotated(stacked, keys=("res", "cell"))

@@ -187,23 +187,27 @@ def spatial_annotate_broadcast(
     return df.mapInPandas(run, schema=schema)
 
 
-def tile_aggregates_annotated(tiled: DataFrame) -> DataFrame:
+def tile_aggregates_annotated(
+    tiled: DataFrame, keys: tuple[str, ...] = ("tile_id",)
+) -> DataFrame:
     """per-tile rollup over PIP-annotated rows (one row per image): image
-    count, mean dims, exact phash dup count, PIP match count.
+    count, mean dims, exact phash dup count, PIP match count. ``keys``:
+    the grouping key columns — ("tile_id",) for the one-level rollup,
+    ("res", "cell") when the rows have been pyramid-exploded upstream.
 
     Exact distinct WITHOUT countDistinct: a single multi-countDistinct
     rollup plans an Expand (rows x distinct-aggs) and an HLL sketch per
     group is worse here (tiles hold ~1-3 images, sketches are KBs). The
-    scalable exact pattern is two-level: pre-aggregate by (tile, phash) —
+    scalable exact pattern is two-level: pre-aggregate by (keys, phash) —
     map-side combine collapses dup hashes before the shuffle — then roll
     tiles up from partial sums. Every stage is partial-aggregable."""
-    lvl1 = tiled.groupBy("tile_id", "phash").agg(
+    lvl1 = tiled.groupBy(*keys, "phash").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("w").alias("sw"),
         F.sum("h").alias("sh"),
         F.sum(F.size("polygon_ids")).alias("sp"),
     )
-    return lvl1.groupBy("tile_id").agg(
+    return lvl1.groupBy(*keys).agg(
         F.sum("cnt").alias("n_images"),
         F.round(F.sum("sw") / F.sum("cnt"), 4).alias("avg_w"),
         F.round(F.sum("sh") / F.sum("cnt"), 4).alias("avg_h"),
