@@ -94,3 +94,65 @@ def test_joined_stream_composes_with_tile_encode(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT tile_id) AS t FROM ss_tiles").collect()[0]
     assert rows["n"] == 180 and rows["t"] > 1
+
+
+def test_left_outer_emits_unmatched_after_horizon(spark, tmp_path):
+    """leftOuter: an image whose geo fix never arrives emits with nulls —
+    but only after the watermark passes its match horizon (advanced here by
+    a later second batch, the standard two-batch pattern)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.streaming.joins import streaming_keyed_join
+
+    ipath, gpath = tmp_path / "imgs2", tmp_path / "geo2"
+    imgs1 = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "image_id string, payload string"
+    ).select(
+        "image_id", "payload", F.timestamp_seconds(F.lit(BASE)).alias("ts")
+    )
+    geo1 = spark.createDataFrame([("a",)], "image_id string").select(
+        "image_id",
+        F.lit(1.0).alias("lat"),
+        F.lit(2.0).alias("lon"),
+        F.timestamp_seconds(F.lit(BASE + 60)).alias("ts"),
+    )
+    imgs1.write.parquet(str(ipath))
+    geo1.write.parquet(str(gpath))
+
+    si = spark.readStream.schema(imgs1.schema).parquet(str(ipath))
+    sg = spark.readStream.schema(geo1.schema).parquet(str(gpath))
+    joined = streaming_keyed_join(
+        si, sg, "image_id", watermark="0 seconds",
+        max_delay="15 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r["image_id"]: r["lat"] for r in spark.sql("SELECT * FROM ss_outer").collect()}
+    assert first.get("a") == 1.0  # matched pair emits immediately
+    # 'b' may not emit yet: its horizon (BASE + 15 min) is not past the watermark
+
+    # second batch far in the future advances the watermark past b's horizon
+    spark.createDataFrame([("z", "x")], "image_id string, payload string").select(
+        "image_id", "payload", F.timestamp_seconds(F.lit(BASE + 7200)).alias("ts")
+    ).write.mode("append").parquet(str(ipath))
+    spark.createDataFrame([("z2",)], "image_id string").select(
+        "image_id", F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"),
+        F.timestamp_seconds(F.lit(BASE + 7200)).alias("ts"),
+    ).write.mode("append").parquet(str(gpath))
+    q.processAllAvailable()
+    # one more empty-ish trigger lets the state-eviction batch run
+    time.sleep(0.2)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["image_id"]: (r["lat"], r["lon"]) for r in spark.sql("SELECT * FROM ss_outer").collect()}
+    assert rows["a"] == (1.0, 2.0)
+    assert "b" in rows and rows["b"] == (None, None)  # unmatched left emitted with nulls
