@@ -51,7 +51,8 @@ def test_module_edit_flips_only_reaching_entries(tmp_path, fps, monkeypatch):
     cur = gate.entry_fingerprints(_QUERIES, _ORACLES)
     flipped = {n for n in cur if cur[n] != fps[n]}
     assert {"sample_split_documents", "sample_stratified_documents",
-            "sample_quota_per_source"} <= flipped
+            "sample_quota_per_source", "sample_quota_sqrt",
+            "sample_quota_registered_domain", "sample_split_leakage_safe"} <= flipped
     assert "rule_required_nullish" not in flipped
     assert "q1_pricing_summary" not in flipped
     assert "spatial_zorder_encode" not in flipped
