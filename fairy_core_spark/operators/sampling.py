@@ -25,16 +25,35 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000  # 0.01% resolution
 
 
+def _salted_key(col: Column, salt: str = "") -> Column:
+    """The ONE string both engines hash: COALESCE(CAST(key), '') with the
+    salt prepended. NULL keys hash like the empty string (defined — not a
+    NULL bucket that would leave rows unlabeled/dropped); DuckDB replays
+    the identical coalesce so NULL behavior matches cross-engine."""
+    k = F.coalesce(col.cast("string"), F.lit(""))
+    return F.concat(F.lit(salt), k) if salt else k
+
+
+def _salted_key_sql(key: str, salt: str = "") -> str:
+    e = f"COALESCE(CAST({key} AS VARCHAR), '')"
+    return f"'{salt}' || {e}" if salt else e
+
+
+def _md5_60_col(salted: Column) -> Column:
+    """md5 first 15 hex chars -> 60-bit long (the engine-portable hash —
+    single implementation for every sampling operator; see dedup._md5_60
+    for why md5, not xxhash64)."""
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
 def _hash_bucket(col: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 10000) from md5(salt || key) — the
-    engine-portable hash (see dedup._md5_60 for why md5, not xxhash64)."""
-    salted = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
-    return (F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long") % _BUCKETS).cast("int")
+    """Deterministic bucket in [0, 10000) from md5(salt || key)."""
+    return (_md5_60_col(_salted_key(col, salt)) % _BUCKETS).cast("int")
 
 
 def hash_bucket_sql(key: str, salt: str = "") -> str:
     """DuckDB replay of :func:`_hash_bucket` (oracle building block)."""
-    expr = f"'{salt}' || CAST({key} AS VARCHAR)" if salt else f"CAST({key} AS VARCHAR)"
+    expr = _salted_key_sql(key, salt)
     return f"CAST(('0x' || substring(md5({expr}), 1, 15))::BIGINT % {_BUCKETS} AS INTEGER)"
 
 
@@ -50,6 +69,8 @@ def hash_split(
     (cumulative ranges). Default 90/10 train/test. Weights must sum to
     10000 so every row is labeled."""
     splits = splits or {"train": 9000, "test": 1000}
+    if any(w <= 0 for w in splits.values()):
+        raise ValueError(f"split weights must be positive, got {splits}")
     if sum(splits.values()) != _BUCKETS:
         raise ValueError(f"split weights must sum to {_BUCKETS}, got {sum(splits.values())}")
     bucket = _hash_bucket(F.col(key_col), salt)
@@ -121,13 +142,13 @@ def quota_sample(
 
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
-    salted = (
-        F.concat(F.lit(salt), F.col(key_col).cast("string"))
-        if salt
-        else F.col(key_col).cast("string")
+    h = _md5_60_col(_salted_key(F.col(key_col), salt))
+    # nulls-last explicitly: Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — with NULL keys hashed via coalesce h is never null, but the
+    # key tie-break column itself can be
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc_nulls_last()
     )
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     ranked = df.withColumn("__qs_rank", F.row_number().over(w))
     kept = ranked.where(F.col("__qs_rank") <= quota)
     if keep_rank:
@@ -137,11 +158,12 @@ def quota_sample(
 
 def quota_sample_sql(table: str, group: str, key: str, quota: int, salt: str = "") -> str:
     """DuckDB replay of :func:`quota_sample` (oracle building block)."""
-    expr = f"'{salt}' || CAST({key} AS VARCHAR)" if salt else f"CAST({key} AS VARCHAR)"
+    expr = _salted_key_sql(key, salt)
     return f"""
     SELECT * EXCLUDE (__h, __r) FROM (
       SELECT *, ('0x' || substring(md5({expr}), 1, 15))::BIGINT AS __h,
-             ROW_NUMBER() OVER (PARTITION BY {group} ORDER BY __h ASC, {key} ASC) AS __r
+             ROW_NUMBER() OVER (PARTITION BY {group}
+               ORDER BY __h ASC, {key} ASC NULLS LAST) AS __r
       FROM {table}
     ) WHERE __r <= {quota}
     """
@@ -202,13 +224,10 @@ def quota_sample_scaled(
 
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    salted = (
-        F.concat(F.lit(salt), F.col(key_col).cast("string"))
-        if salt
-        else F.col(key_col).cast("string")
+    h = _md5_60_col(_salted_key(F.col(key_col), salt))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc_nulls_last()
     )
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     wn = Window.partitionBy(group_col)
     cap = _isqrt_col(F.count(F.lit(1)).over(wn)) * m
     return (
@@ -224,7 +243,7 @@ def quota_sample_scaled_sql(
 ) -> str:
     """DuckDB replay of :func:`quota_sample_scaled` — same hash rank, same
     windowed count, same exact-isqrt fix-up."""
-    expr = f"'{salt}' || CAST({key} AS VARCHAR)" if salt else f"CAST({key} AS VARCHAR)"
+    expr = _salted_key_sql(key, salt)
     return f"""
     SELECT * EXCLUDE (__h, __r, __n, __s1, __s2, __s) FROM (
       SELECT *, __s2 - CASE WHEN __s2 * __s2 > __n THEN 1 ELSE 0 END AS __s
@@ -232,7 +251,8 @@ def quota_sample_scaled_sql(
         SELECT *, __s1 + CASE WHEN (__s1 + 1) * (__s1 + 1) <= __n THEN 1 ELSE 0 END AS __s2
         FROM (
           SELECT *, ('0x' || substring(md5({expr}), 1, 15))::BIGINT AS __h,
-                 ROW_NUMBER() OVER (PARTITION BY {group} ORDER BY __h ASC, {key} ASC) AS __r,
+                 ROW_NUMBER() OVER (PARTITION BY {group}
+                   ORDER BY __h ASC, {key} ASC NULLS LAST) AS __r,
                  COUNT(*) OVER (PARTITION BY {group}) AS __n,
                  CAST(FLOOR(SQRT(CAST(COUNT(*) OVER (PARTITION BY {group}) AS DOUBLE))) AS BIGINT) AS __s1
           FROM {table}

@@ -433,7 +433,11 @@ def compact_cells(cells: np.ndarray) -> np.ndarray:
         up, counts = np.unique(parents, return_counts=True)
         full = up[counts == 7]
         keep = at_r[~np.isin(parents, full)]
-        cur = np.concatenate([rest, keep, full])
+        # unique per level: a produced parent may already exist in `rest`
+        # (input holding a cell alongside its children — invalid per H3's
+        # contract, tolerated here); a duplicate would inflate the next
+        # level's sibling count past 7 and block legitimate compaction
+        cur = np.unique(np.concatenate([rest, keep, full]))
     return np.sort(cur)
 
 

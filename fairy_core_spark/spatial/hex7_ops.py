@@ -135,7 +135,7 @@ def explode_children(df: DataFrame, cell_col: str = "cell", out: str | None = No
     new_res = F.shiftleft((res + F.lit(1)).cast("long"), 59)
     exploded = df.withColumn("__h7_d", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(6).cast("long"))))
     child = new_res.bitwiseOR(base).bitwiseOR(
-        F.expr(f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned({cell_col}, 59) & 15) AS INT))")
+        F.expr(f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned(`{cell_col}`, 59) & 15) AS INT))")
     )
     # a res-14 cell has no digit slot left — fail loudly like the numpy
     # twin (a negative shift would otherwise fabricate garbage ids)
@@ -177,7 +177,11 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         )
         keep = at_r.join(full, "__p", "left_anti").select(cell_col)
         parents = full.select(F.col("__p").alias(cell_col))
-        cur = rest.unionByName(keep).unionByName(parents).localCheckpoint()
+        # distinct per level — same reason as the numpy twin's np.unique:
+        # a produced parent may already be in `rest` when the input held a
+        # cell alongside its own children (invalid per H3; tolerated), and
+        # the duplicate would break the next level's ==7 sibling count
+        cur = rest.unionByName(keep).unionByName(parents).distinct().localCheckpoint()
     return cur
 
 
@@ -209,7 +213,7 @@ def uncompact_cells_df(df: DataFrame, cell_col: str = "cell", res: int = MAX_RES
             .bitwiseOR(F.col(cell_col).bitwiseAND(F.lit(~_RES_FIELD_MASK).cast("long")))
             .bitwiseOR(
                 F.expr(
-                    f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned({cell_col}, 59) & 15) AS INT))"
+                    f"shiftleft(__h7_d, CAST(39 - 3 * (shiftrightunsigned(`{cell_col}`, 59) & 15) AS INT))"
                 )
             )
         )
@@ -233,8 +237,8 @@ def hex7_pyramid(
     math contract of :func:`hex7_parent_col`); other columns pass through.
     """
     lvls = sorted({int(l) for l in levels}, reverse=True)
-    if not 0 <= lvls[0] <= MAX_RES:
-        raise ValueError(f"levels must be in [0, {MAX_RES}], got {levels}")
+    if not lvls or not (0 <= lvls[-1] and lvls[0] <= MAX_RES):
+        raise ValueError(f"levels must be non-empty, all in [0, {MAX_RES}], got {levels}")
     return pyramid_stack(df, cell_col, lvls, hex7_parent_col)
 
 
@@ -247,6 +251,12 @@ def pyramid_stack(df: DataFrame, cell_col: str, levels, parent_col_fn) -> DataFr
     lvls = list(levels)
     base = lvls[0]
     others = [c for c in df.columns if c != cell_col]
+    taken = set(others) & {"res", "cell"}
+    if taken:
+        raise ValueError(
+            f"pyramid output columns (res, cell) collide with input columns "
+            f"{sorted(taken)} — rename or drop them first"
+        )
     proj = df.select(
         *others,
         F.col(cell_col).alias(f"__pyr{base}"),

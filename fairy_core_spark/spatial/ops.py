@@ -88,8 +88,10 @@ def s2_pyramid(
     from fairy_core_spark.spatial.hex7_ops import pyramid_stack
 
     lvls = sorted({int(l) for l in levels}, reverse=True)
-    if not 0 <= lvls[0] <= s2.MAX_LEVEL:
-        raise ValueError(f"levels must be in [0, {s2.MAX_LEVEL}], got {levels}")
+    if not lvls or not (0 <= lvls[-1] and lvls[0] <= s2.MAX_LEVEL):
+        raise ValueError(
+            f"levels must be non-empty, all in [0, {s2.MAX_LEVEL}], got {levels}"
+        )
     return pyramid_stack(df, cell_col, lvls, s2_parent_col)
 
 

@@ -46,6 +46,12 @@ def streaming_keyed_join(
         lt, watermark
     )
     collide = (set(left.columns) & set(right.columns)) - {key_col}
+    taken = {f"{c}_r" for c in collide} & set(right.columns)
+    if taken:
+        raise ValueError(
+            f"collision-suffix columns already exist on the right stream: "
+            f"{sorted(taken)} — rename them before joining"
+        )
     r = right
     for c in collide:
         r = r.withColumnRenamed(c, f"{c}_r")

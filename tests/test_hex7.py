@@ -560,3 +560,23 @@ def test_spark_pyramid_one_expand(spark):
 
     with pytest.raises(ValueError):
         hex7_pyramid(df, levels=(99,))
+
+
+def test_compact_tolerates_parent_alongside_children(spark):
+    """input holding a cell AND its full child set (invalid per H3's
+    contract) must still converge to the minimal set with no duplicate
+    rows — the produced parent deduplicates against the pre-existing one
+    and the next level's ==7 sibling count stays correct."""
+    from fairy_core_spark.spatial.hex7_ops import compact_cells_df
+
+    g = int(hex7.cell_id(np.array([10.0]), np.array([20.0]), 1)[0])
+    sibs = hex7.cell_to_children(np.array([g], dtype=np.int64)).ravel()  # 7 res-2 cells
+    kids0 = hex7.cell_to_children(sibs[:1]).ravel()  # res-3 children of sibs[0]
+    # numpy twin: sibs[0] present both directly and via its children
+    mixed = np.concatenate([sibs, kids0])
+    got = hex7.compact_cells(mixed)
+    assert np.array_equal(got, np.array([g], dtype=np.int64))
+
+    df = spark.createDataFrame([(int(c),) for c in mixed], "cell long")
+    rows = np.sort(compact_cells_df(df, "cell").toPandas()["cell"].to_numpy())
+    assert np.array_equal(rows, np.array([g], dtype=np.int64))
