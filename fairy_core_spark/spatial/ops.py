@@ -95,6 +95,74 @@ def s2_pyramid(
     return pyramid_stack(df, cell_col, lvls, s2_parent_col)
 
 
+def s2_descendant_range(parent: int, level: int) -> tuple[int, int]:
+    """[lo, hi] id range covering EXACTLY the level-``level`` descendants
+    of ``parent`` — S2's Hilbert prefix property (the quadtree sibling of
+    hex7_ops.hex7_descendant_range): the subtree spans (parent - lsb_p,
+    parent + lsb_p) and the level-l ids inside it are offset by their own
+    sentinel, so lo = parent - lsb_p + lsb_l, hi = parent + lsb_p - lsb_l.
+    Signed int64 compare is safe per-range: a subtree never crosses the
+    face-4/5 sign boundary (the face bits are constant inside it)."""
+    pr = int(s2.cell_level(np.array([parent], dtype=np.int64))[0])
+    if not pr <= level <= s2.MAX_LEVEL:
+        raise ValueError(f"need parent level {pr} <= level {level} <= {s2.MAX_LEVEL}")
+    lsb_p = 1 << (2 * (s2.MAX_LEVEL - pr))
+    lsb_l = 1 << (2 * (s2.MAX_LEVEL - level))
+    return int(parent) - lsb_p + lsb_l, int(parent) + lsb_p - lsb_l
+
+
+def s2_range_filter(
+    parents, level: int, cell_col: str = "scell", max_ranges: int = 64
+):
+    """Pushdown-able scan predicate: stored level-``level`` S2 cell column
+    is a descendant of any of ``parents`` (mixed-level iterable) — OR of
+    BETWEENs that parquet footer min/max prunes on a `cluster_by_s2`
+    layout (same contract as hex7_ops.hex7_range_filter). Ranges whose gap
+    contains no valid level-l id (sibling spacing 2*lsb_l) are merged, so
+    a full sibling set collapses to the parent's single BETWEEN."""
+    lsb_l = 1 << (2 * (s2.MAX_LEVEL - level))
+    ranges = sorted(s2_descendant_range(int(p), level) for p in parents)
+    if not ranges:
+        raise ValueError("s2_range_filter needs at least one parent cell")
+    merged = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 2 * lsb_l:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if len(merged) > max_ranges:
+        raise ValueError(
+            f"{len(merged)} ranges after merging (> {max_ranges}); use coarser "
+            "parents"
+        )
+    c = F.col(cell_col)
+    pred = c.between(F.lit(merged[0][0]), F.lit(merged[0][1]))
+    for lo, hi in merged[1:]:
+        pred = pred | c.between(F.lit(lo), F.lit(hi))
+    return pred
+
+
+def cluster_by_s2(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = TILE_LEVEL,
+    n_partitions: int = 32,
+    cell_col: str = "scell",
+) -> DataFrame:
+    """Range-partition + sort by S2 cell id for spatial data skipping (the
+    quadtree sibling of hex7_ops.cluster_by_hex7 / zorder's clustered
+    layout): Hilbert-ordered ids make every output partition a compact
+    spatial footprint, so `s2_range_filter` predicates prune row groups
+    via footer stats. The cell column is KEPT (pushdown needs a stored
+    column)."""
+    return (
+        with_cell(df, lat_col, lon_col, level, out=cell_col, scheme="s2")
+        .repartitionByRange(n_partitions, cell_col)
+        .sortWithinPartitions(cell_col)
+    )
+
+
 def _rings_dict(polygons_pdf: pd.DataFrame) -> dict[str, np.ndarray]:
     out = {}
     for _, r in polygons_pdf.iterrows():

@@ -165,3 +165,91 @@ def test_spark_s2_parent_pyramid_parity(spark):
 
     plan = s2_pyramid(df, cell_col="cell", levels=(12, 6, 2))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate stack") == 1 and "Union" not in plan
+
+
+def test_s2_descendant_range_exact():
+    """range covers exactly the level-l descendants: every level-l cell in
+    the subtree lands inside, every sibling-subtree cell lands outside."""
+    from fairy_core_spark.spatial.ops import s2_descendant_range
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-80, 80, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    fine = s2.cell_id(lat, lon, 10)
+    for p_lvl in (2, 5, 8):
+        parents = s2.parent(fine, p_lvl)
+        for p in np.unique(parents)[:20]:
+            lo, hi = s2_descendant_range(int(p), 10)
+            inside = fine[parents == p]
+            outside = fine[parents != p]
+            assert ((inside >= lo) & (inside <= hi)).all()
+            assert (~((outside >= lo) & (outside <= hi))).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s2_descendant_range(int(s2.parent(fine[:1], 8)[0]), 5)  # level above parent
+
+
+def test_s2_range_filter_merges_siblings(spark):  # Column literals need an active context
+    from fairy_core_spark.spatial.ops import s2_descendant_range, s2_range_filter
+
+    p = int(s2.cell_id(np.array([10.0]), np.array([20.0]), 3)[0])
+    lsb_p = 1 << (2 * (30 - 3))
+    # the 4 level-4 children of p: parent ± offsets (Hilbert positions)
+    lsb_c = lsb_p >> 2
+    kids = [p - 3 * lsb_c, p - lsb_c, p + lsb_c, p + 3 * lsb_c]
+    assert (s2.parent(np.array(kids, dtype=np.int64), 3) == p).all()
+    # full sibling set merges into the parent's single range
+    s2_range_filter(kids, level=10, max_ranges=1)  # must not raise
+    lo_p, hi_p = s2_descendant_range(p, 10)
+    lo_k, _ = s2_descendant_range(kids[0], 10)
+    _, hi_k = s2_descendant_range(kids[-1], 10)
+    assert (lo_k, hi_k) == (lo_p, hi_p)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s2_range_filter([], level=10)
+
+
+def test_s2_layout_prunes_rowgroups_at_the_scan(spark, tmp_path):
+    """same scan-metrics proof as the hex7/zorder layouts: a bbox-region
+    query reads >=8x fewer rows on a cluster_by_s2 layout than on a random
+    layout."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import cluster_by_s2, s2_range_filter, with_cell
+    from tests.test_zorder import _scan_output_rows
+
+    n = 200_000
+    pts = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    clustered, random_ = str(tmp_path / "c"), str(tmp_path / "r")
+    cluster_by_s2(pts, level=10, n_partitions=16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(clustered)
+    with_cell(pts, level=10, out="scell").repartition(16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(random_)
+
+    # region cover: level-3 cells of a dense sample grid over the bbox
+    gy, gx = np.mgrid[10.0:25.01:0.2, 40.0:55.01:0.2]
+    parents = np.unique(s2.cell_id(gy.ravel(), gx.ravel(), 3))
+    pred = s2_range_filter(parents, level=10)
+
+    def q(path):
+        df = spark.read.parquet(path)
+        return df.where(pred).where(
+            F.col("lat").between(10.0, 25.0) & F.col("lon").between(40.0, 55.0)
+        )
+
+    a = {r["point_id"] for r in q(clustered).collect()}
+    b = {r["point_id"] for r in q(random_).collect()}
+    assert a == b and len(a) > 0
+    read_c, read_r = _scan_output_rows(q(clustered)), _scan_output_rows(q(random_))
+    assert read_c > 0
+    assert read_r >= 8 * read_c, (read_c, read_r)
