@@ -62,7 +62,7 @@ class BBoxGridIndex:
                 [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
                 for r in self.rings
             ]
-        )  # (n, 4): lat_min, lat_max, lon_min, lon_max
+        ).reshape(-1, 4)  # (n, 4) even when n == 0 (np.array([]) is 1-D)
         self.boxes = boxes
         self.nx, self.ny = nx, ny
         self.lat0, self.lat1 = -90.0, 90.0

@@ -354,29 +354,6 @@ def decontaminate(
     ).fillna(False, ["contaminated"])
 
 
-def minhash_signature(col: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
-    """array<long> of num_perm minhash values, fully native.
-
-    The permutation loop runs as a transform over a *literal params array*
-    so the shingle-hash subtree appears exactly once in the expression tree
-    (building num_perm separate array_min exprs inlines — and re-executes —
-    the shingling num_perm times; that was a 50x slowdown)."""
-    hs = shingle_hashes(col, shingle_n)
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _perm_params(num_perm)
-        ]
-    )
-    return F.transform(
-        params,
-        lambda p: F.coalesce(
-            F.array_min(F.transform(hs, lambda h: (h * p["a"] + p["b"]) % _MERSENNE_P)),
-            F.lit(0),
-        ),
-    )
-
-
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str,
@@ -599,9 +576,13 @@ def ngram_jaccard_pairs(
     the theorem — same result set as ``prefilter="none"`` (pinned by
     tests and the unchanged DuckDB oracle), ~L/p² less verify work on
     blocks of L docs sharing few tokens."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
+    # drop the '' token that split-on-empty produces: a whitespace-only doc
+    # must have an EMPTY set (jaccard 0 with everything), not the singleton
+    # {hash('')} that would pair every blank page as a perfect duplicate
+    nonempty = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    toks = F.array_distinct(nonempty)
     if hash_tokens:
-        toks = F.array_distinct(F.transform(tokens(F.col(text_col)), _md5_60))
+        toks = F.array_distinct(F.transform(nonempty, _md5_60))
     base = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"), toks.alias("toks")
     )
@@ -703,21 +684,24 @@ def embedding_cosine_dups(
     released by Spark's ContextCleaner once the returned plan is GC'd;
     callers issuing many calls in one long session can pass
     ``persist=False`` (the bucket projection then computes twice)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    d = dim or (first["d"] if first else 0)
+    if dim:
+        d = int(dim)
+    else:  # probe ONLY when not given — first() is a full upstream action
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is None:
+            raise ValueError("cannot infer dim from an empty/all-null column; pass dim=")
+        d = int(first["d"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables * n_planes, d))
 
+    from fairy_core_spark.operators.similarity import _dot, cosine_col
+
     def dot_expr(vec: Column, w: Sequence[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in w]),
-                lambda v, p: v.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return _dot(vec, F.array(*[F.lit(float(x)) for x in w]))
 
     buckets = []
     for t in range(n_tables):
@@ -742,22 +726,13 @@ def embedding_cosine_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm.alias("norm"))
-    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("norm_a") * F.col("norm_b"))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    # shared guarded kernel (operators/similarity.py): zero-norm vectors —
+    # which collide in EVERY sign bucket by construction — score 0.0
+    # instead of throwing ANSI DIVIDE_BY_ZERO
+    cos = cosine_col(F.col("vec_a"), F.col("vec_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -778,6 +753,12 @@ def phash_exact_dups(df: DataFrame, phash_col: str = "phash", id_col: str = "ima
 def phash_near_dups(
     df: DataFrame, phash_col: str = "phash", id_col: str = "image_id", max_hamming: int = 3
 ) -> DataFrame:
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3]: the fixed 4x16-bit banding only "
+            f"guarantees a shared band for Hamming <= 3 (got {max_hamming}); "
+            "widen the banding before raising the bound"
+        )
     """Near-duplicate image pairs by phash Hamming <= k via 4x16-bit band
     self-join (pigeonhole guarantees recall for k <= 3) + exact popcount
     refine (native bit ops)."""

@@ -33,6 +33,16 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def cosine_col(a: Column, b: Column) -> Column:
+    """Guarded cosine as a double Column: 0.0 when either norm is zero.
+    An all-zero embedding (padding row, failed embedder output) must never
+    crash the job (ANSI division throws on /0) nor rank as anyone's
+    near-dup/neighbor — and zero vectors deterministically collide in
+    every sign bucket, so the LSH paths WILL generate such pairs."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,10 +55,7 @@ def cosine_topk_bruteforce(
     excluded. Query side is broadcast; ranking ties broken by neighbor id."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-        round_dp,
-    )
+    cos = F.round(cosine_col(F.col("qvec"), F.col("cvec")), round_dp)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -152,7 +159,7 @@ def ivf_topk(
         F.explode(q_buckets).alias("bucket"),
     )
     cos = F.round(
-        _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        cosine_col(F.col("qvec"), F.col("cvec")),
         round_dp,
     )
     scored = (

@@ -33,7 +33,10 @@ LANG_MARKERS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens with empties removed (split on \\s+ after trim)."""
+    """Whitespace tokens (split on \\s+ after trim). NOTE: an empty /
+    all-whitespace input yields [''] (Spark split semantics), not [] —
+    callers that must treat blank docs as token-free filter '' out
+    (ngram_jaccard_pairs) or gate on trim != '' (token_count)."""
     return F.split(F.trim(col), TOKEN_SPLIT_RE)
 
 
@@ -124,7 +127,13 @@ def doc_fingerprint(col_name: str = "text", out_name: str = "fingerprint"):
 
     @F.pandas_udf(LongType())
     def _fp(s: pd.Series) -> pd.Series:
-        np.seterr(over="ignore")  # uint64 wrap-around is the hash definition
+        # errstate, not seterr: executors reuse Python workers, and a global
+        # seterr would silence overflow for every OTHER numpy UDF that later
+        # runs in this worker (image hashes, geometry kernels)
+        with np.errstate(over="ignore"):  # uint64 wrap IS the hash definition
+            return _fp_batch(s)
+
+    def _fp_batch(s: pd.Series) -> pd.Series:
         out = np.zeros(len(s), dtype=np.uint64)
         # Horner closed form: h = seed*B^n + sum(v_i * B^(n-1-i)) mod 2^64.
         # One shared power table per batch (cumprod wraps mod 2^64), then a
@@ -137,6 +146,10 @@ def doc_fingerprint(col_name: str = "text", out_name: str = "fingerprint"):
             np.cumprod(np.full(max_n, B, dtype=np.uint64), out=pows[1:])
         for i, raw in enumerate(texts):
             if raw is None:
+                # NULL text behaves exactly like empty text — the module-wide
+                # convention (with_text_features); 0 would collide with any
+                # real doc whose rolling hash lands on 0
+                out[i] = SEED
                 continue
             v = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
             n = len(v)

@@ -442,3 +442,44 @@ def test_token_rarity_hand_counts(spark):
         for r in token_rarity(docs).collect()
     }
     assert got == {1: (3, 7, 1), 2: (3, 7, 2)}
+
+
+def test_blank_docs_never_pair_as_duplicates(spark):
+    """whitespace-only / empty docs have an EMPTY token set — they must not
+    pair with each other at jaccard 1.0 (split-on-empty yields [''], which
+    the operator now filters), in either prefilter path."""
+    docs = spark.createDataFrame(
+        [(1, "   ", "s"), (2, "", "s"), (3, "real words here", "s"),
+         (4, "real words here", "s")],
+        "doc_id long, text string, source string",
+    )
+    for pf in ("prefix", "none"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", "source", 0.5, prefilter=pf
+            ).collect()
+        }
+        assert got == {(3, 4)}, (pf, got)
+
+
+def test_zero_norm_embeddings_never_crash_or_pair(spark):
+    """all-zero embeddings (padding rows) collide in EVERY sign bucket, so
+    the LSH path is guaranteed to generate their pairs — the cosine refine
+    must score them 0.0 (not throw ANSI DIVIDE_BY_ZERO) and drop them."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+    rows += [(100, [0.0] * 8), (101, [0.0] * 8)]  # two zero vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_cosine_dups(
+        emb, "embedding", "vec_id", threshold=0.4, n_planes=4, seed=7, dim=8, n_tables=4
+    ).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 100 not in ids and 101 not in ids
+
+    from fairy_core_spark.operators.similarity import cosine_topk_bruteforce
+
+    top = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") == 100), k=3).collect()
+    assert len(top) == 3 and all(r["cosine"] == 0.0 for r in top)
