@@ -249,6 +249,22 @@ def _last_certified() -> set[str] | None:
         return None
 
 
+def _ever_certified() -> set[str] | None:
+    """Entry names appearing in ANY CORRECTNESS_r*.json in the repo root."""
+    found = False
+    names: set[str] = set()
+    try:
+        for p in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+            if not re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name):
+                continue
+            with open(p) as fh:
+                names.update(json.load(fh).keys())
+            found = True
+        return names if found else None
+    except (OSError, ValueError):
+        return None
+
+
 def serve_order(queries: dict, oracles: dict) -> list[str]:
     """Registry names ordered change-first / starved-second / green-last.
 
@@ -271,4 +287,11 @@ def serve_order(queries: dict, oracles: dict) -> list[str]:
     t0 = [n for n in names if n in changed]
     t1 = [n for n in names if n not in changed and n in starved]
     t2 = [n for n in names if n not in changed and n not in starved]
+    # Within T0, entries that have NEVER carried an official row (new this
+    # round) outrank changed-but-previously-green entries: if the budget
+    # cuts into T0 at all, the cut then lands on an entry that at least has
+    # a prior green row on near-identical bytes, never on a brand-new one.
+    ever = _ever_certified()
+    if ever is not None:
+        t0.sort(key=lambda n: n in ever)  # stable: registration order kept
     return t0 + t1 + t2

@@ -78,6 +78,24 @@ def test_serve_order_tiers(monkeypatch, fps):
     assert set(order) == set(names) and len(order) == len(names)
 
 
+def test_serve_order_t0_never_certified_first(monkeypatch, fps):
+    """Within the changed tier, entries that never carried an official row
+    in ANY round file outrank changed-but-previously-green entries — so a
+    budget cut into T0 lands on an entry with a prior green row, never on a
+    brand-new one. Registration order is kept within each sub-tier."""
+    names = list(_QUERIES)
+    snap = dict(fps)
+    for n in (names[2], names[5], names[7]):
+        snap[n] = "0" * 64  # all three changed
+    monkeypatch.setattr(gate, "_load_snapshot", lambda: snap)
+    monkeypatch.setattr(gate, "_last_certified", lambda: set(names))
+    # names[5] has never been certified in any round; the other two have
+    monkeypatch.setattr(gate, "_ever_certified", lambda: set(names) - {names[5]})
+    order = gate.serve_order(_QUERIES, _ORACLES)
+    assert order[:3] == [names[5], names[2], names[7]]
+    assert set(order) == set(names) and len(order) == len(names)
+
+
 def test_serve_order_degrades_to_registration_order(monkeypatch):
     monkeypatch.setattr(gate, "_load_snapshot", lambda: None)
     monkeypatch.setattr(gate, "_last_certified", lambda: None)
