@@ -154,7 +154,10 @@ def cmd_preflight(args) -> int:
 
     # hard-fail before creating out_dir if an input path is missing
     # (reference contract test: missing --files must not create out_dir)
-    for p in (args.samples, args.files, args.rulepack):
+    inputs = [args.samples, args.files, args.rulepack]
+    if args.param_file:
+        inputs.append(args.param_file)
+    for p in inputs:
         if not os.path.exists(p):
             print(f"error: input not found: {p}", file=sys.stderr)
             return 2
@@ -310,7 +313,9 @@ def cmd_pipeline(args) -> int:
     spark = get_spark(app_name="fairy-pipeline", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     runner = PipelineRunner(spark, args.out_dir)
-    status = runner.run(image_pipeline_stages(args.n_images, args.tile_level))
+    status = runner.run(
+        image_pipeline_stages(args.n_images, args.tile_level, args.cell_scheme)
+    )
     print(json.dumps(status, sort_keys=True))
     return 0
 
@@ -366,6 +371,7 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out-dir", required=True)
     pl.add_argument("--n-images", type=int, default=100_000)
     pl.add_argument("--tile-level", type=int, default=12)
+    pl.add_argument("--cell-scheme", default="s2", choices=["s2", "hex7"])
     pl.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)

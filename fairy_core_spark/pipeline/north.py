@@ -29,6 +29,7 @@ from fairy_core_spark.operators.images import with_image_checks
 from fairy_core_spark.spatial.ops import (
     TILE_LEVEL,
     spatial_annotate_broadcast,
+    spatial_prefix_col,
     tile_aggregates_annotated,
     with_cell,
 )
@@ -69,19 +70,9 @@ def north_pipeline(
         valid.join(g, "image_id"), "lat", "lon", level, out="tile_id", scheme=cell_scheme
     )
     annotated = spatial_annotate_broadcast(encoded, polygons_pdf)
-    # The repartition key must be a SPATIAL prefix with enough distinct
-    # values to spread n_partitions. For s2 the id is a Hilbert-style
-    # bitstring, so the top PREFIX_BITS bits work. hex7 ids are field-packed
-    # (sign|res|face|i0|j0|digits...): the top 12 bits are sign + constant
-    # res + face + 2 bits of i0 — ~20-40 distinct keys no matter the data,
-    # a parallelism cliff. Its spatial prefix is instead "ancestor at a
-    # coarser res": drop the trailing digits, keep res|face|i0|j0 plus two
-    # aperture-7 digits (bit 36 boundary) — up to 49 keys per occupied
-    # res-0 cell, clustered exactly like a parent rollup.
-    if cell_scheme == "hex7":
-        prefix = F.shiftrightunsigned(F.col("tile_id"), 36)
-    else:
-        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - PREFIX_BITS)
+    # Scheme-aware spatial shuffle key (see spatial_prefix_col: the s2 and
+    # hex7 id layouts need different prefixes to avoid a parallelism cliff).
+    prefix = spatial_prefix_col("tile_id", cell_scheme, PREFIX_BITS)
     if n_partitions is None:
         n_partitions = images.sparkSession.sparkContext.defaultParallelism * 2
     tiled = annotated.withColumn("tile_prefix", prefix).repartition(

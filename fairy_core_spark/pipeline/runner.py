@@ -70,17 +70,41 @@ class PipelineRunner:
         payload = {"stage": stage.name, "version": stage.version, "inputs": input_snaps}
         return sha256_hex(canonical_json(payload).encode())
 
+    def _table_dir(self, name: str) -> str:
+        """Filesystem dir of a catalog table. Markers and footer-walk
+        lineage must live where the CATALOG put the data — an injected
+        catalog may root tables away from out_dir (the constructor's
+        catalog seam); falling back to out_dir would write markers into a
+        directory the data never touched."""
+        d = getattr(self.catalog, "_dir", None)
+        return d(name) if callable(d) else os.path.join(self.out_dir, name)
+
+    def _marker_path(self, stage: Stage) -> str:
+        return os.path.join(self._table_dir(stage.output), "_stage_fingerprint")
+
     def _completed_fingerprint(self, stage: Stage) -> str | None:
-        marker = os.path.join(self.out_dir, stage.output, "_stage_fingerprint")
+        marker = self._marker_path(stage)
         if os.path.exists(marker):
             with open(marker) as f:
                 return f.read().strip()
         return None
 
     def _mark_completed(self, stage: Stage, fp: str) -> None:
-        marker = os.path.join(self.out_dir, stage.output, "_stage_fingerprint")
+        marker = self._marker_path(stage)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write(fp)
+
+    def _invalidate_marker(self, stage: Stage) -> None:
+        """Drop the completion marker BEFORE a recompute starts writing.
+        Without this, a crash mid-overwrite leaves the old marker next to
+        partial data; a later resubmit whose fingerprint happens to match
+        the stale marker (e.g. a reverted version bump) would then skip
+        over a corrupt table."""
+        try:
+            os.remove(self._marker_path(stage))
+        except FileNotFoundError:
+            pass
 
     def _partition_rows(self, table: str) -> list[dict]:
         """Per-output-partition lineage from parquet footers (metadata-only
@@ -89,7 +113,7 @@ class PipelineRunner:
         bytes)."""
         import pyarrow.parquet as pq
 
-        data_dir = os.path.join(self.out_dir, table, "data")
+        data_dir = os.path.join(self._table_dir(table), "data")
         out = []
         for root, _dirs, files in os.walk(data_dir):
             for fn in sorted(files):
@@ -105,9 +129,25 @@ class PipelineRunner:
                 )
         return out
 
-    def run(self, stages: list[Stage], sources: dict[str, DataFrame] | None = None) -> dict:
-        """Execute stages in order; returns {stage: status} summary."""
+    def run(
+        self,
+        stages: list[Stage],
+        sources: dict[str, DataFrame] | None = None,
+        source_snaps: dict[str, str] | None = None,
+    ) -> dict:
+        """Execute stages in order; returns {stage: status} summary.
+
+        ``sources`` injects DataFrames by input name, bypassing the
+        catalog. The runner cannot observe their content, so by default an
+        injected source fingerprints as CHANGED every run — stages fed by
+        one always recompute (safe: a stale skip over changed data would
+        violate the byte-identical-resume guarantee; recompute merely costs
+        time). Callers that can attest content identity (e.g. the frame is
+        a pure function of recorded parameters) pass ``source_snaps[name]``
+        — a stable string that then participates in the stage fingerprint
+        exactly like a catalog snapshot id."""
         sources = sources or {}
+        source_snaps = source_snaps or {}
         status: dict[str, str] = {}
         for stage in stages:
             input_snaps: dict[str, str] = {}
@@ -115,7 +155,14 @@ class PipelineRunner:
             for name in stage.inputs:
                 if name in sources:
                     frames[name] = sources[name]
-                    input_snaps[name] = "source:" + name
+                    if name in source_snaps:
+                        input_snaps[name] = f"source:{name}:{source_snaps[name]}"
+                    else:
+                        # content-blind: unique per run -> never skips
+                        # (plan hashes are NOT stable across processes —
+                        # semanticHash embeds per-session ids — so there is
+                        # no cheap content-true fingerprint to take here)
+                        input_snaps[name] = f"source:{name}:volatile-{os.urandom(8).hex()}"
                 else:
                     frames[name] = self.catalog.read(self.spark, name)
                     input_snaps[name] = self.catalog.snapshot(name)["snapshot_id"]
@@ -130,6 +177,7 @@ class PipelineRunner:
                 continue
 
             t0 = time.monotonic()
+            self._invalidate_marker(stage)  # crash mid-write must not leave a valid marker
             out_df = stage.transform(self.spark, frames)
             snap = self.catalog.write(out_df, stage.output, partition_by=stage.partition_by)
             wall_ms = int((time.monotonic() - t0) * 1000)
@@ -185,8 +233,8 @@ def image_pipeline_stages(
     from fairy_core_spark.operators.images import with_image_checks
     from fairy_core_spark.spatial.ops import (
         spatial_join_broadcast,
+        spatial_prefix_col,
         tile_aggregates,
-        tile_assign,
         with_cell,
     )
     from pyspark.sql import functions as F
@@ -215,7 +263,7 @@ def image_pipeline_stages(
     def tile(spark, frames):
         enc = frames["encoded"].withColumnRenamed("cell", "tile_id")
         n = spark.sparkContext.defaultParallelism * 2
-        prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - 12)
+        prefix = spatial_prefix_col("tile_id", cell_scheme)
         tiled = enc.withColumn("tile_prefix", prefix).repartition(n, "tile_prefix")
         return tile_aggregates(tiled)
 

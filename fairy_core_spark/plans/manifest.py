@@ -110,9 +110,22 @@ def export_submission(
     if (by_level.get("fail", 0) or 0) != 0:
         raise NotSubmissionReady("export refused: report has FAILs")
 
+    basenames = [os.path.basename(p) for p in artifact_paths]
+    dupes = {b for b in basenames if basenames.count(b) > 1}
+    if dupes:
+        # artifacts land in the bundle by basename; two sources with the
+        # same basename would silently overwrite each other and the
+        # manifest would attest a hash the bundled file no longer has
+        raise ValueError(f"duplicate artifact basenames in export: {sorted(dupes)}")
+
     stamp = fixed_timestamp_or(now_utc_iso_z()).replace(":", "").replace("-", "")
     bundle_dir = os.path.join(out_root, f"submission_{stamp}")
-    os.makedirs(bundle_dir, exist_ok=True)
+    # rebuild from scratch: under FAIRY_FIXED_TIMESTAMP (deterministic
+    # reports) every export maps to the SAME dir, and reusing a previous
+    # export's leftovers would zip files the manifest does not list
+    if os.path.exists(bundle_dir):
+        shutil.rmtree(bundle_dir)
+    os.makedirs(bundle_dir)
 
     files = []
     for p in artifact_paths:

@@ -89,9 +89,27 @@ def with_row_id_ingest(df: DataFrame) -> DataFrame:
         rows = [(0, 0)]
     off_df = spark.createDataFrame(rows, schema="__pid int, __off long")
     intra = F.col("__mid").bitwiseAND(F.lit(mask))
+    # The counts pass and the final join are two separate jobs over the
+    # same plan; if split planning shifts between them (input dir gained a
+    # file, differing maxPartitionBytes), a partition id can appear here
+    # that the offset pass never saw. Substituting offset 0 would silently
+    # DUPLICATE ids 1..k — fail loudly instead (same convention as the
+    # intra-counter guard above).
+    row_id = F.when(F.col("__off").isNotNull(), F.col("__off") + intra + 1).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("with_row_id_ingest: partition "),
+                F.col("__pid").cast("string"),
+                F.lit(
+                    " absent from the offset pass (input changed between"
+                    " jobs?); row-id assignment unsafe"
+                ),
+            )
+        )
+    )
     return (
         pid_df.join(F.broadcast(off_df), "__pid", "left")
-        .withColumn(ROW_ID, F.coalesce(F.col("__off"), F.lit(0)) + intra + 1)
+        .withColumn(ROW_ID, row_id)
         .drop("__pid", "__mid", "__off")
     )
 
@@ -163,6 +181,13 @@ class ParquetDirCatalog:
             return int(snap["rows"])
         return parquet_row_count(os.path.join(self._dir(name), "data"))
 
+    def _snapshot_id(self, name: str, data_dir: str) -> str:
+        """Identity of a freshly written table state. Content hash here;
+        subclasses with a cheaper identity model (Iceberg: commit sequence
+        numbers) override this so write() never pays the full-content
+        hash."""
+        return table_fingerprint(data_dir)
+
     def write(
         self,
         df: DataFrame,
@@ -178,7 +203,7 @@ class ParquetDirCatalog:
         w.parquet(data_dir)
         snap = {
             "table": name,
-            "snapshot_id": table_fingerprint(data_dir),
+            "snapshot_id": self._snapshot_id(name, data_dir),
             "partition_by": partition_by or [],
             "rows": parquet_row_count(data_dir),
         }
@@ -239,18 +264,19 @@ class IcebergLikeCatalog(ParquetDirCatalog):
     input as changed, exactly like Iceberg's time-travel identity.
     """
 
-    def write(self, df, name, partition_by=None, mode="overwrite"):
+    def _snapshot_id(self, name: str, data_dir: str) -> str:
+        # commit sequence number, not a content hash: _snapshot.json still
+        # holds the PREVIOUS commit when write() calls this (data is
+        # written first, the snapshot file after), so the old id is
+        # readable here — and the base class's full-content fingerprint is
+        # never computed (the point of the Iceberg identity model: at scale
+        # the commit metadata IS the identity, no byte re-read).
         prev_seq = -1
         if self.exists(name):
-            prev = self.snapshot(name)
-            sid = str(prev.get("snapshot_id", ""))
+            sid = str(self.snapshot(name).get("snapshot_id", ""))
             if sid.startswith("commit-"):
                 prev_seq = int(sid.split("-", 1)[1])
-        snap = super().write(df, name, partition_by=partition_by, mode=mode)
-        snap["snapshot_id"] = f"commit-{prev_seq + 1}"
-        with open(os.path.join(self._dir(name), "_snapshot.json"), "w") as f:
-            json.dump(snap, f, sort_keys=True, indent=2)
-        return snap
+        return f"commit-{prev_seq + 1}"
 
     def set_snapshot_id(self, name: str, snapshot_id: str) -> None:
         snap = self.snapshot(name)

@@ -615,6 +615,26 @@ def haversine_udf():
     return _hav
 
 
+def spatial_prefix_col(cell_col, scheme: str = "s2", prefix_bits: int = 12):
+    """Scheme-aware SPATIAL shuffle-key prefix for a cell-id column.
+
+    The repartition key must have enough distinct values to spread
+    n_partitions. For s2 the id is a Hilbert-style bitstring, so the top
+    ``prefix_bits`` bits work. hex7 ids are field-packed
+    (sign|res|face|i0|j0|digits...): the top 12 bits are sign + constant
+    res + face + 2 bits of i0 — ~20-40 distinct keys no matter the data, a
+    parallelism cliff. Its spatial prefix is instead "ancestor at a coarser
+    res": drop the trailing digits, keep res|face|i0|j0 plus two aperture-7
+    digits (bit 36 boundary) — up to 49 keys per occupied res-0 cell,
+    clustered exactly like a parent rollup."""
+    c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    if scheme == "hex7":
+        return F.shiftrightunsigned(c, 36)
+    if scheme != "s2":
+        raise ValueError(f"unknown cell scheme {scheme!r} (want 's2' or 'hex7')")
+    return F.shiftrightunsigned(c, 64 - prefix_bits)
+
+
 def tile_assign(
     images: DataFrame,
     geo: DataFrame,
@@ -622,14 +642,16 @@ def tile_assign(
     level: int = TILE_LEVEL,
     prefix_bits: int = 12,
     n_partitions: int | None = None,
+    scheme: str = "s2",
 ) -> DataFrame:
-    """raster->vector tiling: each image lands in its S2 tile via lat/lon
-    metadata. Join on image_id (both sides huge at scale: sort-merge,
-    AQE-planned), encode, then *explicit repartition by cell prefix* (north
-    rule) so spatially-near tiles co-locate in output partitions."""
+    """raster->vector tiling: each image lands in its S2 (or hex7) tile via
+    lat/lon metadata. Join on image_id (both sides huge at scale:
+    sort-merge, AQE-planned), encode, then *explicit repartition by cell
+    prefix* (north rule) so spatially-near tiles co-locate in output
+    partitions."""
     tagged = images.join(geo, id_col)
-    tiled = with_cell(tagged, "lat", "lon", level, out="tile_id")
-    prefix = F.shiftrightunsigned(F.col("tile_id"), 64 - prefix_bits).alias("tile_prefix")
+    tiled = with_cell(tagged, "lat", "lon", level, out="tile_id", scheme=scheme)
+    prefix = spatial_prefix_col("tile_id", scheme, prefix_bits).alias("tile_prefix")
     n = n_partitions or tiled.sparkSession.sparkContext.defaultParallelism * 2
     return tiled.withColumn("tile_prefix", prefix).repartition(n, "tile_prefix")
 

@@ -154,3 +154,20 @@ def test_rulepack_shape_check(tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text("[1, 2, 3]")  # not a mapping
     assert main(["rulepack", "--rulepack", str(bad)]) == 2
+
+
+def test_preflight_missing_param_file_hard_fails_no_out_dir(spark, tmp_path):
+    """--param-file joins the pre-Spark input existence check: a missing
+    param file is a bad-input exit 2 with no out_dir, not a traceback after
+    Spark boots."""
+    out = tmp_path / "fairy-out"
+    rc = main([
+        "preflight",
+        "--rulepack", RP,
+        "--samples", SAMPLES,
+        "--files", FILES,
+        "--out-dir", str(out),
+        "--param-file", str(tmp_path / "MISSING.yml"),
+    ])
+    assert rc == 2
+    assert not out.exists()

@@ -197,3 +197,52 @@ def test_audio_features_real_wav(spark):
     rows = audio_features(aud).collect()  # no use_fake: real path
     assert rows[0]["duration_s"] == 3.0
     assert abs(rows[0]["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+
+
+def test_export_rejects_duplicate_basenames(tmp_path):
+    report = {
+        "dataset_id": "sha256:deadbeef",
+        "summary": {"by_level": {"fail": 0, "warn": 0, "pass": 5}},
+        "metadata": {"rulepack": {"id": "rp", "version": "1"}},
+    }
+    a = tmp_path / "runA" / "report.json"
+    b = tmp_path / "runB" / "report.json"
+    a.parent.mkdir()
+    b.parent.mkdir()
+    a.write_text("{\"run\": \"A\"}")
+    b.write_text("{\"run\": \"B\"}")
+    with pytest.raises(ValueError, match="duplicate artifact basenames"):
+        export_submission(report, [str(a), str(b)], str(tmp_path), "0.1.0")
+
+
+def test_export_rebuilds_bundle_dir_from_scratch(tmp_path, monkeypatch):
+    """Under FAIRY_FIXED_TIMESTAMP every export maps to the same bundle
+    dir; a second export with a DIFFERENT artifact set must not inherit the
+    first's leftovers (the zip would contain files the manifest does not
+    list)."""
+    import json as _json
+    import os
+    import zipfile
+
+    monkeypatch.setenv("FAIRY_FIXED_TIMESTAMP", "2026-01-01T00:00:00Z")
+    report = {
+        "dataset_id": "sha256:deadbeef",
+        "summary": {"by_level": {"fail": 0, "warn": 0, "pass": 5}},
+        "metadata": {"rulepack": {"id": "rp", "version": "1"}},
+    }
+    first = tmp_path / "stale_artifact.json"
+    second = tmp_path / "fresh_artifact.json"
+    first.write_text("{}")
+    second.write_text("{}")
+
+    b1 = export_submission(report, [str(first)], str(tmp_path), "0.1.0")
+    b2 = export_submission(report, [str(second)], str(tmp_path), "0.1.0")
+    assert b1 == b2  # deterministic stamp -> same dir, rebuilt
+    assert not os.path.exists(os.path.join(b2, "stale_artifact.json"))
+
+    with zipfile.ZipFile(b2 + ".zip") as z:
+        names = set(z.namelist())
+    manifest = _json.loads(open(os.path.join(b2, "manifest.json")).read())
+    listed = {f["path"] for f in manifest["files"] if f.get("role") != "data"}
+    # zip contents == manifest-listed artifacts + the manifest itself
+    assert names == listed | {"manifest.json"}

@@ -73,3 +73,67 @@ def test_resume_binds_to_snapshot_identity_not_file_bytes(spark, tmp_path):
     assert s3["validate"] == "completed"  # consumes images -> re-executed
     # downstream of validate re-executes too (validated got a new commit id)
     assert s3["encode"] == "completed"
+
+
+def test_injected_sources_never_stale_skip(spark, tmp_path):
+    """A stage fed by an injected DataFrame must recompute every run by
+    default (the runner cannot observe injected content, so skipping could
+    resume over stale data); an explicit source_snaps attestation restores
+    skip, and changing the attested id invalidates."""
+    from fairy_core_spark.pipeline.runner import Stage
+
+    out = str(tmp_path / "inj")
+
+    def passthrough(spark_, frames):
+        return frames["ext"]
+
+    stages = [Stage("copy", ["ext"], passthrough, "copied")]
+    src = spark.range(0, 10).withColumnRenamed("id", "n")
+
+    r = PipelineRunner(spark, out)
+    assert r.run(stages, sources={"ext": src})["copy"] == "completed"
+    # content-blind default: second run recomputes, never skips
+    assert r.run(stages, sources={"ext": src})["copy"] == "completed"
+    # attested identity: skip works like a catalog snapshot id
+    snaps = {"ext": "v1"}
+    assert r.run(stages, sources={"ext": src}, source_snaps=snaps)["copy"] == "completed"
+    assert r.run(stages, sources={"ext": src}, source_snaps=snaps)["copy"] == "skipped"
+    # new attested id -> recompute
+    assert (
+        r.run(stages, sources={"ext": src}, source_snaps={"ext": "v2"})["copy"]
+        == "completed"
+    )
+
+
+def test_crash_mid_recompute_cannot_leave_valid_marker(spark, tmp_path):
+    """The completion marker is invalidated BEFORE a recompute writes: a
+    stage that crashes mid-overwrite must not leave the old marker behind,
+    or a later resubmit with the original fingerprint would skip over
+    partial data."""
+    import os
+
+    from fairy_core_spark.pipeline.runner import Stage
+
+    out = str(tmp_path / "crash")
+
+    def gen(spark_, _frames):
+        return spark_.range(0, 5)
+
+    stages = [Stage("gen", [], gen, "t")]
+    r = PipelineRunner(spark, out)
+    assert r.run(stages)["gen"] == "completed"
+    marker = os.path.join(out, "t", "_stage_fingerprint")
+    assert os.path.exists(marker)
+
+    def boom(spark_, _frames):
+        raise RuntimeError("killed mid-recompute")
+
+    crashing = [Stage("gen", [], boom, "t", version="2")]
+    try:
+        r.run(crashing)
+    except RuntimeError:
+        pass
+    assert not os.path.exists(marker)  # stale marker gone
+    # revert to the original version: must RECOMPUTE (not skip) because the
+    # marker no longer vouches for the (possibly partial) table state
+    assert r.run(stages)["gen"] == "completed"

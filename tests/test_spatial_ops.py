@@ -189,3 +189,38 @@ def test_radius_join_rejects_hemispheric_radius(spark):
     q = pts.withColumnRenamed("id", "query_id")
     with pytest.raises(ValueError, match="one-ring cover"):
         radius_join(pts, q, radius_m=8_000_000.0)
+
+
+def test_spatial_prefix_col_scheme_aware(spark):
+    """The shuffle-key prefix must have enough distinct values under BOTH
+    cell-id layouts: the r4-advice parallelism cliff was hex7 ids fed to
+    the S2 top-12-bit prefix (sign + constant res + face + 2 bits of i0 ->
+    a few dozen keys no matter the data)."""
+    import pytest as _pytest
+
+    from fairy_core_spark.datagen.images import geo_df
+    from fairy_core_spark.spatial.ops import spatial_prefix_col, with_cell
+
+    geo = geo_df(spark, 4000)
+    counts = {}
+    for scheme in ("s2", "hex7"):
+        cells = with_cell(geo, "lat", "lon", 12, out="tile_id", scheme=scheme)
+        n = (
+            cells.select(spatial_prefix_col("tile_id", scheme).alias("p"))
+            .distinct()
+            .count()
+        )
+        counts[scheme] = n
+        # worldwide points at level 12 must spread well past one wave of
+        # tasks on any realistic parallelism
+        assert n > 200, f"{scheme}: only {n} distinct prefix keys"
+    # the degenerate combination the helper exists to prevent:
+    hex_cells = with_cell(geo, "lat", "lon", 12, out="tile_id", scheme="hex7")
+    degenerate = (
+        hex_cells.select(spatial_prefix_col("tile_id", "s2").alias("p"))
+        .distinct()
+        .count()
+    )
+    assert degenerate < 100  # proves the cliff is real, not hypothetical
+    with _pytest.raises(ValueError, match="unknown cell scheme"):
+        spatial_prefix_col("tile_id", "geohash")
