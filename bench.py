@@ -224,11 +224,33 @@ def main() -> int:
     line = json.dumps(out, sort_keys=True)
 
     # Durable copy the driver/judge can always read, written before any
-    # teardown can fail.
+    # teardown can fail. A CONTENDED run must not overwrite a CLEAN
+    # committed artifact (the r4 lesson: one co-tenant window replaced the
+    # reproducible number with a 1.5x-noise one) — it lands in
+    # last_contended.json instead, so the run is still machine-readable
+    # next to its probe fields while last.json keeps the cleanest
+    # measurement of the current code.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    last_path = os.path.join(bench_dir, "last.json")
     try:
         os.makedirs(bench_dir, exist_ok=True)
-        with open(os.path.join(bench_dir, "last.json"), "w") as fh:
+        target = last_path
+        if out["contended"] and os.path.exists(last_path):
+            try:
+                with open(last_path) as fh:
+                    prev_clean = not json.load(fh).get("contended", False)
+            except (OSError, ValueError):
+                prev_clean = False
+            if prev_clean:
+                target = os.path.join(bench_dir, "last_contended.json")
+                print(
+                    "bench: contended run (probe "
+                    f"{min(probe_pre, probe_post):.1f} GB/s < "
+                    f"{PROBE_OK_FRACTION * PROBE_CLEAN_GBS:.1f}); keeping clean "
+                    "BENCH/last.json, writing BENCH/last_contended.json",
+                    file=sys.stderr,
+                )
+        with open(target, "w") as fh:
             fh.write(line + "\n")
     except OSError as exc:  # non-fatal: stdout line below is the contract
         print(f"bench: could not write BENCH/last.json: {exc}", file=sys.stderr)
