@@ -35,6 +35,23 @@ from fairy_core_spark.rulepack.loader import Rule
 from fairy_core_spark.sources.tables import ROW_ID
 
 MAX_REMEDIATION_LINKS = 20  # display cap, mirrored from rulepack_runner.py:28
+
+
+def _java_regex_error(regex: str) -> str | None:
+    """Message if ``regex`` does not compile under java.util.regex (the
+    engine rlike actually runs), else None. Best-effort: without an active
+    JVM the check is skipped and a bad pattern surfaces at execution."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        spark._jvm.java.util.regex.Pattern.compile(regex)
+        return None
+    except Exception as e:  # Py4JJavaError with PatternSyntaxException inside
+        msg = str(getattr(e, "java_exception", None) or e)
+        return msg.splitlines()[0][:500]
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*$"  # rulepack_runner.py:31
 
 CHECK_TYPES = {
@@ -262,7 +279,9 @@ def _cnt(cond) -> Any:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
 
-def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> CompiledRule:
+def compile_rule(
+    rule: Rule, columns: list[str], frames_keys: list[str], ordinal: int = 0
+) -> CompiledRule:
     """Compile one rule against a known schema. Config errors and
     column-not-found surface here (the 'analyze' stage, SURVEY.md §3)."""
     cfg = rule.config
@@ -287,7 +306,10 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
             ),
         )
 
-    key = f"r_{_re.sub('[^A-Za-z0-9_]', '_', rule.id)}"
+    # ordinal disambiguates sanitized collisions ('a.b' vs 'a-b' both map
+    # to a_b; a duplicate alias in the fused df.agg would make one rule
+    # silently read the OTHER rule's counts via Row.asDict last-wins)
+    key = f"r{ordinal}_{_re.sub('[^A-Za-z0-9_]', '_', rule.id)}"
 
     if rtype in ("dup", "no_duplicate_rows", "unique"):
         cols = cfg.get("keys" if rtype != "unique" else "columns", []) or []
@@ -323,7 +345,11 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
             if len(rows) > ctx.max_evidence_rows:
                 ctx.sink_overflow(marked.where("__is_dup").select(ROW_ID))
                 rows = rows[: ctx.max_evidence_rows]
-            ev: dict[str, Any] = {"duplicates": [{"rows": rows}], "count": len(rows)}
+            # exact count from the fused aggregate, NOT len(rows): evidence
+            # rows are capped at max_evidence_rows (a driver-safety cap the
+            # pandas reference doesn't need — rulepack_runner.py:380 reports
+            # len of the UNcapped list, i.e. the exact count)
+            ev: dict[str, Any] = {"duplicates": [{"rows": rows}], "count": n_dup}
             rem_col = _rule.config.get("remediation_link_column")
             if rem_col and rem_col in ctx.df.columns:
                 got = (
@@ -385,7 +411,17 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                     "columns": sorted(rows_by_col.keys()),
                     "rows_by_column": {k: v for k, v in sorted(rows_by_col.items())},
                 }
-                ev["count"] = int(sum(len(v) for v in rows_by_col.values()))
+                # exact flagged-cell count from the fused aggregate
+                # (rulepack_runner.py:628 semantics); rows_by_column is
+                # capped at max_evidence_rows, so summing it would
+                # under-state large failures
+                ev["count"] = int(
+                    sum(
+                        int(aggs[f"{_key}_{i}"] or 0)
+                        for i, c in enumerate(_present)
+                        if c in rows_by_col
+                    )
+                )
                 failing_rows = sorted({r for rows in rows_by_col.values() for r in rows})
                 pred = None
                 for c in bad_cols:
@@ -458,6 +494,13 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
     if rtype == "url":
         col = cfg.get("column")
         schemes = cfg.get("schemes") or cfg.get("scheme")
+        if isinstance(schemes, str):
+            # singular `scheme: https` as a bare string: treat as a 1-list.
+            # (The reference iterates the string char-wise here —
+            # rulepack_runner.py:252,676 builds set('https') = {'h','t',...}
+            # — flagging every URL; its fixtures only ever pass lists, so
+            # normalizing is a strict fix, not a parity break.)
+            schemes = [schemes]
         if not col:
             return CompiledRule(rule, error=("FAIL", {"error": "config_missing_column"}))
         if col not in columns:
@@ -471,7 +514,7 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
             rows = _rows_of(ctx, p)
             ev: dict[str, Any] = {
                 "invalid_url_rows": rows,
-                "count": len(rows),
+                "count": n,  # exact aggregate count; rows list is capped
                 "schemes": list(_allow),
             }
             rem = _remediation(ctx, p, rows, _rule)
@@ -493,7 +536,7 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
             if n == 0:
                 return "PASS", {"count": 0}
             rows = _rows_of(ctx, p)
-            ev: dict[str, Any] = {"empty_or_whitespace_rows": rows, "count": len(rows)}
+            ev: dict[str, Any] = {"empty_or_whitespace_rows": rows, "count": n}
             rem = _remediation(ctx, p, rows, _rule)
             if rem:
                 ev["remediation"] = rem
@@ -523,6 +566,21 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                 rule,
                 error=("FAIL", {"error": "invalid_regex", "message": str(e), "regex": regex}),
             )
+        # Execution is JVM-side (rlike = java.util.regex), whose dialect is
+        # not a superset of Python's (e.g. (?P<x>...) named groups compile
+        # in Python, throw in Java). An uncaught Java PatternSyntaxException
+        # inside the fused aggregate would abort EVERY rule in the report —
+        # pre-compile against the executing engine and degrade this one
+        # rule to its own runtime_error row instead.
+        err = _java_regex_error(regex)
+        if err is not None:
+            return CompiledRule(
+                rule,
+                error=(
+                    "FAIL",
+                    {"error": "runtime_error", "message": err, "regex": regex},
+                ),
+            )
         viol, ignored = regex_pred(col, regex, mode, ignore_empty)
         extra = {key + "_ign": _cnt(ignored)}
 
@@ -549,7 +607,7 @@ def compile_rule(rule: Rule, columns: list[str], frames_keys: list[str]) -> Comp
                 "regex": _rx,
                 "mode": _mode,
                 "ignore_empty": bool(_ie),
-                "count": len(rows),
+                "count": n,  # exact aggregate count; rows list is capped
                 "rows": rows,
             }
             ign = int(aggs.get(_key + "_ign") or 0)

@@ -32,6 +32,7 @@ from fairy_core_spark.plans.provenance import (
     compute_params_sha256,
     fixed_timestamp_or,
     sha256_file,
+    table_fingerprint,
 )
 from fairy_core_spark.sources.tables import read_input
 
@@ -49,6 +50,9 @@ def _dispatch(spark, rule: dict, samples: DataFrame, files: DataFrame) -> DataFr
     if ctype == "require_columns":
         return pf.check_required_columns(spark, samples, spec.get("required_columns", []))
     if ctype == "at_least_one_nonempty_per_row":
+        # reference parity: only column_groups[0] is evaluated
+        # (validator.py:121-125 — "group0 = column_groups[0]"; rna.py:129
+        # documents the spec as spec['column_groups'][0])
         groups = spec.get("column_groups", [])
         return pf.check_bio_context(spark, samples, groups[0] if groups else [])
     if ctype == "id_crosscheck":
@@ -76,6 +80,10 @@ def _dispatch(spark, rule: dict, samples: DataFrame, files: DataFrame) -> DataFr
                 spec.get("processed_glob_candidates", [".counts", ".quant", ".gene_counts"])
             ),
         )
+    # reference parity: an unknown check type yields ZERO findings (the
+    # rule reports pass) — validator.py:166-167's bare `else: warning_items
+    # = []`. Deliberately unlike the rulepack dialect, which FAILs with
+    # unknown_rule_type (rules.py dispatch end).
     return pf._empty(spark)
 
 
@@ -116,16 +124,23 @@ def run_preflight(
     rp_name = meta.get("name") or rulepack.get("rulepack_name") or "UNKNOWN_RULEPACK"
     rp_id = meta.get("id") or rulepack.get("rulepack_id") or rp_name
     rp_version = meta.get("version") or rulepack.get("rulepack_version") or "0.0.0"
-    rp_sha256 = sha256_file(rulepack_path) if os.path.exists(rulepack_path) else ""
+    rp_sha256 = (
+        sha256_file(rulepack_path)
+        if os.path.isfile(rulepack_path)  # isfile, not exists: a dir here
+        else ""  # would IsADirectoryError inside sha256_file
+    )
     params_sha256 = compute_params_sha256(params)
 
     # ---- run every check, tagging findings with the rule code; one union
-    # so counts + samples come from a single Spark job
+    # consumed by TWO actions (counts groupBy + top-10 window) — cache it
+    # so the crossmatch/paired-end joins behind it execute once, not twice
     tagged = None
     rules = rulepack["rules"]
     for rule in rules:
         f = _dispatch(spark, rule, samples, files).withColumn("code", F.lit(rule["code"]))
         tagged = f if tagged is None else tagged.unionByName(f)
+    if tagged is not None:
+        tagged = tagged.cache()
 
     results = []
     by_level = {"pass": 0, "warn": 0, "fail": 0}
@@ -157,6 +172,7 @@ def run_preflight(
         )
         for r in top:
             samples_by_code.setdefault(r["code"], []).append(_sample_from_row(r.asDict()))
+        tagged.unpersist()
 
     for rule in rules:
         code = rule["code"]
@@ -189,7 +205,10 @@ def run_preflight(
         header = [c for c in df.columns if c != "__row_id"]
         inputs_metadata[name] = {
             "path": str(path),
-            "sha256": sha256_file(path),
+            # parquet table DIRS are valid read_input targets; hash them as
+            # tables (run_rulepack does the same) — sha256_file would raise
+            # IsADirectoryError after all the Spark work completed
+            "sha256": table_fingerprint(path) if os.path.isdir(path) else sha256_file(path),
             "n_rows": df.count(),
             "n_cols": len(header),
             "header": header,
@@ -205,17 +224,6 @@ def run_preflight(
     timestamp = fixed_timestamp_or(_now_z())
     if timestamp.endswith("+00:00"):
         timestamp = timestamp.replace("+00:00", "Z")
-
-    fail_count = sum(
-        total_counts.get(r["code"], 0)
-        for r in rules
-        if "error" in severities.get(r["code"], set())
-    )
-    warn_count = sum(
-        total_counts.get(r["code"], 0)
-        for r in rules
-        if "warning" in severities.get(r["code"], set())
-    )
 
     report = {
         "schema_version": "1.0.0",

@@ -100,11 +100,9 @@ def run_rulepack(
     # ---- attestation (reference :131-170); file hash driver-side for real
     # files, snapshot fingerprint for table dirs
     att_inputs = []
-    row_counts: dict[str, int] = {}
     for name, path in inputs_map.items():
         try:
             n = loaded[name].count()
-            row_counts[name] = n
             if os.path.isfile(path):
                 sha, nbytes = sha256_file(path), os.path.getsize(path)
             elif os.path.isdir(path):
@@ -162,8 +160,10 @@ def run_rulepack(
         rules = rulepack.rules_for(name, filename)
 
         compiled: list[CompiledRule] = [
-            compile_rule(r, [c for c in df.columns if c != ROW_ID], list(loaded.keys()))
-            for r in rules
+            compile_rule(
+                r, [c for c in df.columns if c != ROW_ID], list(loaded.keys()), ordinal=i
+            )
+            for i, r in enumerate(rules)
         ]
 
         # fused single-pass aggregation across every rule of this input
@@ -231,32 +231,37 @@ def partition_report(
     input_name: str = "default",
 ) -> DataFrame:
     """North-rule per-partition validation report: violation counts per
-    (partition_key, rule). One shuffle-free map-side-combinable groupBy;
-    written as a parquet ``_reports`` table by the pipeline runner so
-    downstream consumers can gate per-partition without re-validating."""
+    (partition_key, rule). One map-side-combinable groupBy; write the
+    result as a parquet reports table (tests/test_rule_parity.py does,
+    through ParquetDirCatalog) so downstream consumers can gate
+    per-partition without re-validating."""
+    if not rule_preds:
+        raise ValueError("partition_report: rule_preds must not be empty")
     aggs = [F.count(F.lit(1)).alias("rows")] + [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(rid)
-        for rid, pred in rule_preds.items()
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        for i, pred in enumerate(rule_preds.values())
     ]
     wide = df.groupBy(partition_key.alias("partition_key")).agg(*aggs)
-    # long form: (input, partition_key, rule_id, violations, rows)
-    stacked = wide.select(
-        "partition_key",
-        "rows",
-        F.expr(
-            "stack({n}, {pairs}) as (rule_id, violations)".format(
-                n=len(rule_preds),
-                pairs=", ".join(f"'{rid}', `{rid}`" for rid in rule_preds),
-            )
-        ),
-    ).select(
+    # long form via explode(array(struct)) — rule ids ride as literals, so
+    # ids containing quotes/backticks can't break a generated stack() SQL
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rid).alias("rule_id"),
+                    F.col(f"__v{i}").alias("violations"),
+                )
+                for i, rid in enumerate(rule_preds)
+            ]
+        )
+    ).alias("kv")
+    return wide.select("partition_key", "rows", kv).select(
         F.lit(input_name).alias("input"),
         "partition_key",
-        "rule_id",
-        "violations",
+        F.col("kv.rule_id").alias("rule_id"),
+        F.col("kv.violations").alias("violations"),
         "rows",
     )
-    return stacked
 
 
 def write_report_json(report: dict[str, Any], path: str) -> None:
@@ -289,7 +294,19 @@ def write_report_markdown(report: dict[str, Any], path: str) -> None:
         lines.append("|---|---|---|---|---|")
         for r in res["rules"]:
             ev = r.get("evidence", {}) or {}
-            count = ev.get("count", ev.get("out_of_set", {}).get("count", 0) if isinstance(ev.get("out_of_set"), dict) else 0)
+            count = ev.get("count")
+            if count is None:
+                # rule shapes that carry their count under a nested/other
+                # key: enum (out_of_set), range (out_of_bounds), foreign_key
+                # (missing_count_estimate) — without these a FAILing fk rule
+                # would render count 0
+                for nested in ("out_of_set", "out_of_bounds"):
+                    sub = ev.get(nested)
+                    if isinstance(sub, dict) and "count" in sub:
+                        count = sub["count"]
+                        break
+            if count is None:
+                count = ev.get("missing_count_estimate", 0)
             lines.append(
                 f"| {r['id']} | {r['type']} | {r['severity']} | {r['status']} | {count} |"
             )
