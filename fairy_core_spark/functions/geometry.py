@@ -49,6 +49,40 @@ def point_in_ring(lat: np.ndarray, lon: np.ndarray, ring: np.ndarray) -> np.ndar
     return inside
 
 
+def _rings_to_boxes(rings: list[np.ndarray]) -> np.ndarray:
+    """(n, 4) [lat_min, lat_max, lon_min, lon_max] bbox per ring — shared
+    by both polygon indexes so their bbox semantics cannot diverge. The
+    reshape keeps shape (0, 4) when n == 0 (np.array([]) is 1-D)."""
+    return np.array(
+        [[r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()] for r in rings],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+
+
+def _refine_candidates(
+    lat: np.ndarray,
+    lon: np.ndarray,
+    cand: list[tuple[int, int]],
+    rings: list[np.ndarray],
+    ids: list[str],
+) -> list[tuple[int, str]]:
+    """Exact ray-cast refine of (point_index, polygon_index) candidate
+    pairs, grouped per polygon — the one refine implementation behind both
+    indexes (identical output by construction, as their docstrings
+    promise)."""
+    if not cand:
+        return []
+    ci = np.fromiter((i for i, _ in cand), dtype=np.int64, count=len(cand))
+    cp = np.fromiter((p for _, p in cand), dtype=np.int64, count=len(cand))
+    out: list[tuple[int, str]] = []
+    for pi in np.unique(cp):
+        idx = ci[cp == pi]
+        hit = point_in_ring(lat[idx], lon[idx], rings[pi])
+        for t in idx[hit]:
+            out.append((int(t), ids[pi]))
+    return out
+
+
 class BBoxGridIndex:
     """Uniform grid over polygon bounding boxes. Bulk-loaded once on the
     driver, broadcast as plain arrays; query returns candidate polygon ids
@@ -57,12 +91,7 @@ class BBoxGridIndex:
     def __init__(self, polygons: dict[str, np.ndarray], nx: int = 64, ny: int = 32):
         self.ids = list(polygons.keys())
         self.rings = [np.asarray(polygons[p], dtype=np.float64) for p in self.ids]
-        boxes = np.array(
-            [
-                [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
-                for r in self.rings
-            ]
-        ).reshape(-1, 4)  # (n, 4) even when n == 0 (np.array([]) is 1-D)
+        boxes = _rings_to_boxes(self.rings)
         self.boxes = boxes
         self.nx, self.ny = nx, ny
         self.lat0, self.lat1 = -90.0, 90.0
@@ -122,17 +151,9 @@ class BBoxGridIndex:
                 for t in idx[hit]:
                     out.append((int(t), self.ids[pi]))
             return out
-        cand = self.query_batch(lat, lon)
-        if not cand:
-            return []
-        by_poly: dict[int, list[int]] = {}
-        for i, pi in cand:
-            by_poly.setdefault(pi, []).append(i)
-        for pi, idxs in by_poly.items():
-            idx = np.array(idxs)
-            hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])
-            for t in idx[hit]:
-                out.append((int(t), self.ids[pi]))
+        out.extend(
+            _refine_candidates(lat, lon, self.query_batch(lat, lon), self.rings, self.ids)
+        )
         return out
 
 
@@ -161,13 +182,7 @@ class STRtree:
     def __init__(self, polygons: dict[str, np.ndarray], fanout: int = 16):
         self.ids = list(polygons.keys())
         self.rings = [np.asarray(polygons[p], dtype=np.float64) for p in self.ids]
-        boxes = np.array(
-            [
-                [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
-                for r in self.rings
-            ],
-            dtype=np.float64,
-        )  # (n, 4): lat_min, lat_max, lon_min, lon_max
+        boxes = _rings_to_boxes(self.rings)
         self.boxes = boxes
         self.fanout = int(fanout)
         # leaf_order[i] = polygon index of the i-th packed leaf entry
@@ -249,18 +264,7 @@ class STRtree:
         refine as BBoxGridIndex — identical output by construction)."""
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
-        cand = self.query_batch(lat, lon)
-        if not cand:
-            return []
-        ci = np.fromiter((i for i, _ in cand), dtype=np.int64, count=len(cand))
-        cp = np.fromiter((p for _, p in cand), dtype=np.int64, count=len(cand))
-        out: list[tuple[int, str]] = []
-        for pi in np.unique(cp):
-            idx = ci[cp == pi]
-            hit = point_in_ring(lat[idx], lon[idx], self.rings[pi])
-            for t in idx[hit]:
-                out.append((int(t), self.ids[pi]))
-        return out
+        return _refine_candidates(lat, lon, self.query_batch(lat, lon), self.rings, self.ids)
 
 
 def polygon_covering_cells(ring: np.ndarray, level: int) -> np.ndarray:
@@ -275,7 +279,18 @@ def polygon_covering_cells(ring: np.ndarray, level: int) -> np.ndarray:
     step_deg = np.degrees(s2.min_width_rad(level)) / 2.0
     lats = np.arange(lat_min, lat_max + step_deg, step_deg)
     lons = np.arange(lon_min, lon_max + step_deg, step_deg)
-    glat, glon = np.meshgrid(lats, lons)
-    cells = np.unique(s2.cell_id(glat.ravel(), np.clip(glon.ravel(), -180, 180), level))
+    # Chunk lat strips instead of one dense meshgrid: a continent-scale
+    # bbox at a fine level is ~10^8 samples, and cell_id's intermediate
+    # float64 arrays would multiply that into driver-OOM territory. Peak
+    # memory is now bounded at ~CHUNK_SAMPLES regardless of bbox size;
+    # output identical (unique of unions == unique of the whole).
+    CHUNK_SAMPLES = 4_000_000
+    rows_per_chunk = max(1, CHUNK_SAMPLES // max(1, len(lons)))
+    lons_clipped = np.clip(lons, -180, 180)
+    chunks = []
+    for i in range(0, len(lats), rows_per_chunk):
+        glat, glon = np.meshgrid(lats[i : i + rows_per_chunk], lons_clipped)
+        chunks.append(np.unique(s2.cell_id(glat.ravel(), glon.ravel(), level)))
+    cells = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     padded = np.unique(np.concatenate([cells, s2.neighbors(cells, level).ravel()]))
     return padded

@@ -52,8 +52,13 @@ def asof_join(
         raise ValueError("direction must be 'backward' | 'forward'")
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' | 'left'")
-    r_payload = F.struct(*[F.col(c) for c in right.columns])
-    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    # backtick-quoted exact-name resolution: F.col('geo.lat') (and even
+    # df['geo.lat']) parse dots as nested paths for a legal dotted name
+    def _qcol(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    r_payload = F.struct(*[_qcol(c).alias(c) for c in right.columns])
+    l_payload = F.struct(*[_qcol(c).alias(c) for c in left.columns])
     r_t = F.col(right_ts)
     l_t = F.col(left_ts)
     tie = F.col(tie_col) if tie_col else F.lit(0)
@@ -81,14 +86,17 @@ def asof_join(
     )
     u = r2.unionByName(l2)
     if direction == "backward":
-        # ascending ts; among equal (ts, side=0) the LAST row wins -> max tie
+        # ascending ts; among equal (ts, side=0) the LAST row wins -> max
+        # tie. NULLS FIRST so a NULL tie loses to any non-null (SQL max()
+        # ignores NULLs — nulls_last would hand F.last the NULL-tie row)
         w = Window.partitionBy("__k").orderBy(
-            F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__tie")
+            F.asc("__t"), F.asc("__side"), F.asc_nulls_first("__tie")
         )
     else:
-        # descending ts; right still first at equal ts; min tie wins
+        # descending ts; right still first at equal ts; min tie wins, and
+        # NULLS FIRST again so the last row is the min NON-NULL tie
         w = Window.partitionBy("__k").orderBy(
-            F.desc("__t"), F.asc("__side"), F.desc_nulls_last("__tie")
+            F.desc("__t"), F.asc("__side"), F.desc_nulls_first("__tie")
         )
     matched = (
         u.withColumn(
@@ -105,8 +113,10 @@ def asof_join(
     )
     if how == "inner":
         matched = matched.where(F.col("__m").isNotNull())
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__m.{c}").alias(f"r_{c}") for c in right.columns
+    # getField, not F.col("__l.c"): a legal dotted column name would parse
+    # as a deeper nested path and fail analysis
+    out_cols = [F.col("__l").getField(c).alias(c) for c in left.columns] + [
+        F.col("__m").getField(c).alias(f"r_{c}") for c in right.columns
     ]
     return matched.select(*out_cols)
 
@@ -122,6 +132,8 @@ def interval_join_binned(
     """Rows (point x interval) with lo <= val <= hi, via bin equi-join +
     exact refine. Each (point, interval) pair meets in exactly ONE bin
     (the point's), so no post-join dedup is needed."""
+    if not (float(bin_width) > 0.0):  # also rejects NaN
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     pb = points.withColumn(
         "__bin", F.floor(F.col(val_col) / F.lit(float(bin_width))).cast("long")
     )

@@ -172,7 +172,12 @@ def zranges_for_bbox(lat0: float, lat1: float, lon0: float, lon1: float,
         z_lo = _py_interleave(pa, pb, depth) << (2 * (bits - depth))
         z_hi = z_lo + (1 << (2 * (bits - depth))) - 1
         full = la >= a0 and ha <= a1 and lb >= b0 and hb <= b1
-        if full or depth == bits or len(out) + len(frontier) >= max_ranges:
+        # budget check counts the 4 children this node would push (the
+        # popped node is no longer in frontier): recursing is only allowed
+        # if out+frontier+4 still fits, which keeps the invariant
+        # len(out)+len(frontier) <= max_ranges at every step — the old
+        # >=max_ranges check allowed overshoot to max_ranges+3
+        if full or depth == bits or len(out) + len(frontier) + 4 > max_ranges:
             out.append((z_lo, z_hi))
             continue
         for da in (0, 1):

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from fairy_core_spark.operators.joins import asof_join, interval_join_binned
@@ -125,3 +126,37 @@ def test_asof_null_ts_and_null_key_never_match(spark):
         for r in asof_join(left, right, "k", "ts", "ts", tie_col="qid", how="left").collect()
     }
     assert got == {("early", None), ("late", 1), ("nullkey", None)}
+
+
+def test_asof_null_tie_loses_to_nonnull(spark):
+    """SQL max()/min() ignore NULLs: a right row with a NULL tie_col must
+    lose the tie to any non-null row (nulls_last ordering handed F.last
+    the NULL-tie row — inverted winner in both directions)."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, None, "null-tie"), (1, 5, 2, "real-tie")],
+        "k int, ts int, tie int, tag string",
+    )
+    out = asof_join(left, right, "k", "ts", "ts", "backward", tie_col="tie")
+    assert out.collect()[0]["r_tag"] == "real-tie"
+    fwd = asof_join(left.selectExpr("k", "ts - 9 as ts"), right, "k", "ts", "ts",
+                    "forward", tie_col="tie")
+    assert fwd.collect()[0]["r_tag"] == "real-tie"
+
+
+def test_asof_dotted_column_names(spark):
+    """Legal dotted column names must survive the struct round-trip
+    (F.col('__l.geo.lat') would parse as a nested path)."""
+    left = spark.createDataFrame([(1, 10, 1.5)], ["k", "ts", "geo.lat"])
+    right = spark.createDataFrame([(1, 5, 9.9)], ["k", "ts", "geo.lon"])
+    out = asof_join(left, right, "k", "ts", "ts", "backward")
+    row = out.collect()[0]
+    assert row["geo.lat"] == 1.5 and row["r_geo.lon"] == 9.9
+
+
+def test_interval_join_rejects_nonpositive_bin_width(spark):
+    pts = spark.createDataFrame([(1.0,)], "v double")
+    iv = spark.createDataFrame([(-1.0, 2.0)], "lo double, hi double")
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="bin_width"):
+            interval_join_binned(pts, iv, "v", "lo", "hi", bad)

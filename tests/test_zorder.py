@@ -319,3 +319,45 @@ def test_zorder_layout_prunes_rowgroups_at_the_scan(spark, tmp_path):
         f"clustered layout read {read_clustered} rows vs {read_random} random — "
         "expected >=8x row-group pruning from footer stats"
     )
+
+
+def test_zranges_budget_is_a_hard_bound():
+    """len(ranges) <= max_ranges for ANY bbox (the pop-time budget check
+    used to allow overshoot to max_ranges+3 on fragmented boxes), and the
+    cover stays a superset of the exact bbox codes."""
+    from fairy_core_spark.spatial.zorder import zranges_for_bbox
+
+    cases = [
+        (-33.3, 41.7, -120.1, 63.9),
+        (10.0, 10.0001, -179.9, 179.9),   # thin worldwide sliver: fragmented
+        (-89.9, 89.9, 0.0, 0.1),          # thin vertical sliver
+        (0.0, 0.0, 0.0, 0.0),
+        (-90.0, 90.0, -180.0, 180.0),
+    ]
+    for budget in (1, 4, 7, 16, 64):
+        for bbox in cases:
+            ranges = zranges_for_bbox(*bbox, max_ranges=budget)
+            assert 1 <= len(ranges) <= budget, (bbox, budget, len(ranges))
+            # sorted + disjoint
+            for (l0, h0), (l1, h1) in zip(ranges, ranges[1:]):
+                assert h0 < l1
+
+
+def test_polygon_covering_cells_chunked_matches_single_shot():
+    """The lat-strip chunking is a memory bound, not a semantic change:
+    identical cell set to a one-shot dense mesh."""
+    import numpy as np
+
+    from fairy_core_spark.functions import geometry
+    from fairy_core_spark.spatial import s2
+
+    ring = np.array([[10.0, 20.0], [12.5, 23.0], [14.0, 20.5], [10.0, 20.0]])
+    got = geometry.polygon_covering_cells(ring, 8)
+
+    step = np.degrees(s2.min_width_rad(8)) / 2.0
+    lats = np.arange(10.0, 14.0 + step, step)
+    lons = np.arange(20.0, 23.0 + step, step)
+    glat, glon = np.meshgrid(lats, lons)
+    cells = np.unique(s2.cell_id(glat.ravel(), np.clip(glon.ravel(), -180, 180), 8))
+    want = np.unique(np.concatenate([cells, s2.neighbors(cells, 8).ravel()]))
+    assert np.array_equal(got, want)
