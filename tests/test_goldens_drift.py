@@ -82,3 +82,30 @@ def test_image_alt_hash_golden_matches_engine(spark):
     assert len(rows) > 50
     for r in rows:
         assert golden[r["image_id"]] == (r["dhash"], r["ahash"]), r["image_id"]
+
+
+def test_hex7_ring1_golden_matches_engine():
+    """the frozen occupied-cell adjacency = neighbors_geo of the frozen
+    occupied cells, filtered to occupied endpoints, self-edges dropped"""
+    import numpy as np
+
+    from fairy_core_spark.goldens.contract_goldens import (
+        HEX7_CELLS_SF001,
+        HEX7_RING1_SF001,
+    )
+    from fairy_core_spark.spatial import hex7
+
+    occ = np.unique(np.array([t for _, t in HEX7_CELLS_SF001], dtype=np.int64))
+    occ_set = set(occ.tolist())
+    nb = hex7.neighbors_geo(occ)
+    expect = sorted(
+        {
+            (int(c), int(v))
+            for c, row in zip(occ.tolist(), nb)
+            for v in set(row.tolist())
+            if v != c and v in occ_set
+        }
+    )
+    assert sorted(HEX7_RING1_SF001) == expect
+    # sanity: every edge endpoint is an occupied cell, no self loops
+    assert all(a in occ_set and b in occ_set and a != b for a, b in HEX7_RING1_SF001)

@@ -224,3 +224,86 @@ def test_spatial_prefix_col_scheme_aware(spark):
     assert degenerate < 100  # proves the cliff is real, not hypothetical
     with _pytest.raises(ValueError, match="unknown cell scheme"):
         spatial_prefix_col("tile_id", "geohash")
+
+
+def test_hotspot_cells_vs_bruteforce(spark):
+    """hotspot_cells == a pure-Python recomputation (counts, occupied
+    ring-1 neighborhoods via the same pinned geometric adjacency, global
+    moments, integer hot test, Gi* z-score) on a planted cluster."""
+    import math
+
+    import numpy as np
+
+    from fairy_core_spark.spatial import hex7
+    from fairy_core_spark.spatial.ops import hotspot_cells, with_cell
+
+    rows = []
+    # dense cluster: 60 points in a ~0.4-degree blob
+    for i in range(60):
+        rows.append((i, 10.0 + (i % 8) * 0.05, 20.0 + (i // 8) * 0.05))
+    # sparse background: 40 singleton points far apart
+    for i in range(40):
+        rows.append((100 + i, -40.0 + i * 1.7, -150.0 + i * 2.3))
+    pts = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    tiled = with_cell(pts, level=3, out="cell", scheme="hex7")
+    got = {
+        r["cell"]: r
+        for r in hotspot_cells(tiled, cell_col="cell").collect()
+    }
+
+    assign = tiled.select("pid", "cell").collect()
+    counts: dict[int, int] = {}
+    for r in assign:
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+    occ = np.array(sorted(counts), dtype=np.int64)
+    nb = hex7.neighbors_geo(occ)
+    n = len(occ)
+    total = sum(counts.values())
+    mu = total / n
+    var = sum(v * v for v in counts.values()) / n - mu * mu
+    assert len(got) == n
+    hot_cells = 0
+    for c, row in zip(occ.tolist(), nb):
+        neigh = {c} | {int(v) for v in row.tolist() if int(v) in counts}
+        k = len(neigh)
+        s = sum(counts[v] for v in neigh)
+        g = got[c]
+        assert g["n_points"] == counts[c]
+        assert g["k_neighbors"] == k
+        assert g["neighbor_sum"] == s
+        expect_hot = int(2 * s * n > 3 * k * total)
+        assert g["is_hot"] == expect_hot
+        hot_cells += expect_hot
+        denom = math.sqrt(var) * math.sqrt(k * (n - k) / (n - 1))
+        if n >= 2 and denom > 0:
+            assert abs(g["gi_z"] - (s - k * mu) / denom) < 1e-9
+        else:
+            assert g["gi_z"] is None
+    # the planted cluster must light up and the background must not all be hot
+    assert 1 <= hot_cells < n
+
+
+def test_hotspot_cells_single_cell_z_null(spark):
+    from fairy_core_spark.spatial.ops import hotspot_cells, with_cell
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 5.0001, 5.0001)], "pid long, lat double, lon double"
+    )
+    tiled = with_cell(pts, level=2, out="cell", scheme="hex7")
+    rows = hotspot_cells(tiled, cell_col="cell").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # one occupied cell: neighborhood is itself, never "hot" vs itself,
+    # z undefined (n-1 = 0)
+    assert r["n_points"] == 2 and r["k_neighbors"] == 1 and r["neighbor_sum"] == 2
+    assert r["is_hot"] == 0 and r["gi_z"] is None
+
+
+def test_hotspot_cells_rejects_bad_factor(spark):
+    import pytest as _pytest
+
+    from fairy_core_spark.spatial.ops import hotspot_cells
+
+    df = spark.createDataFrame([(1,)], "cell long")
+    with _pytest.raises(ValueError, match="hot_num/hot_den"):
+        hotspot_cells(df, hot_num=0)
