@@ -756,6 +756,32 @@ def bbox_join(
     )
 
 
+def _ring1_edges(cells_df: DataFrame, cell_col: str) -> DataFrame:
+    """(cell, nbr) ring-1 geometric adjacency rows for each distinct cell
+    in ``cells_df`` (one row per input row x up to 6 neighbors; self-edges
+    never emitted). An Arrow projection over the cell frame — the shared
+    expansion step of the hex-grid analytics ops (hotspot, clustering).
+    ``nbr`` ids are raw neighbors_geo output: callers join back to their
+    own occupied/qualifying set to filter."""
+    from fairy_core_spark.spatial import hex7
+
+    @F.pandas_udf("array<long>")
+    def _ring1(c: pd.Series) -> pd.Series:
+        cells = c.to_numpy(dtype=np.int64)
+        if cells.size == 0:
+            return pd.Series([], dtype=object)
+        nb = hex7.neighbors_geo(cells)
+        out = []
+        for self_c, row in zip(cells.tolist(), nb):
+            u = np.unique(row)
+            out.append([int(v) for v in u.tolist() if v != self_c])
+        return pd.Series(out)
+
+    return cells_df.select(
+        F.col(cell_col), F.explode(_ring1(F.col(cell_col))).alias("nbr")
+    )
+
+
 def hotspot_cells(
     tiled: DataFrame,
     cell_col: str = "cell",
@@ -800,28 +826,14 @@ def hotspot_cells(
     moments are a 1-row aggregate broadcast back. No driver collect, no
     cross join, nothing quadratic.
     """
-    from fairy_core_spark.spatial import hex7
-
     if hot_den <= 0 or hot_num <= 0:
         raise ValueError(f"hot_num/hot_den must be positive, got {hot_num}/{hot_den}")
     x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
     counts = tiled.groupBy(cell_col).agg(x.cast("long").alias("x"))
 
-    @F.pandas_udf("array<long>")
-    def _ring1(c: pd.Series) -> pd.Series:
-        cells = c.to_numpy(dtype=np.int64)
-        if cells.size == 0:
-            return pd.Series([], dtype=object)
-        nb = hex7.neighbors_geo(cells)
-        out = []
-        for self_c, row in zip(cells.tolist(), nb):
-            u = np.unique(row)
-            out.append([int(v) for v in u.tolist() if v != self_c])
-        return pd.Series(out)
-
-    edges = counts.select(
-        F.col(cell_col), F.explode(_ring1(F.col(cell_col))).alias("nbr")
-    ).unionByName(counts.select(F.col(cell_col), F.col(cell_col).alias("nbr")))
+    edges = _ring1_edges(counts, cell_col).unionByName(
+        counts.select(F.col(cell_col), F.col(cell_col).alias("nbr"))
+    )
     # inner join keeps only occupied neighbors (and drops the ring ids a
     # face-boundary cell can carry for cells no point encodes to)
     neigh = (
@@ -852,3 +864,60 @@ def hotspot_cells(
             F.when((n >= 2) & (denom > 0), (s - k * mu) / denom).alias("gi_z"),
         )
     )
+
+
+def cluster_cells(
+    tiled: DataFrame,
+    cell_col: str = "cell",
+    min_points: int = 1,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Grid-based spatial clustering (north-rule spatial-analytics op —
+    no reference impl; the DBSCAN-on-a-hex-grid shape every density map
+    uses): occupied hex7 cells with at least ``min_points`` points are
+    core cells; core cells that are ring-1 geometric neighbors belong to
+    the same cluster; ``cluster_id`` = MIN cell id in the connected
+    component (deterministic, engine-portable). Emits one row per core
+    cell: (cell, cluster_id, n_points). Isolated core cells are
+    singleton clusters labeled by themselves.
+
+    Plan (the 100 TB story): one map-side-combined groupBy on the points;
+    the adjacency expansion, the qualifying-neighbor join, and the
+    min-label connected components (operators/dedup.connected_components
+    — localCheckpoint-truncated rounds, state = (int64, int64) pairs) all
+    run on the core-CELL frame, which is smaller than the input by the
+    mean cell occupancy. Rounds = cluster graph diameter: fine for blob
+    clusters; a continent-spanning chain of adjacent occupied cells needs
+    ``max_iters`` raised (the run fails loudly rather than returning
+    partial labels).
+    """
+    from fairy_core_spark.operators.dedup import connected_components
+
+    if min_points < 1:
+        raise ValueError(f"min_points must be >= 1, got {min_points}")
+    counts = (
+        tiled.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= int(min_points))
+        .persist()
+    )
+    # adjacency restricted to qualifying cells on BOTH endpoints
+    edges = _ring1_edges(counts, cell_col).join(
+        counts.select(F.col(cell_col).alias("nbr")), "nbr"
+    )
+    cc = connected_components(
+        edges.select(F.col(cell_col).alias("id_a"), F.col("nbr").alias("id_b")),
+        max_iters=max_iters,
+        on_nonconverged="raise",
+    )
+    out = (
+        counts.join(
+            cc.select(F.col("doc_id").alias(cell_col), "group_id"), cell_col, "left"
+        )
+        .select(
+            F.col(cell_col),
+            F.coalesce(F.col("group_id"), F.col(cell_col)).alias("cluster_id"),
+            F.col("n_points"),
+        )
+    )
+    return out

@@ -307,3 +307,94 @@ def test_hotspot_cells_rejects_bad_factor(spark):
     df = spark.createDataFrame([(1,)], "cell long")
     with _pytest.raises(ValueError, match="hot_num/hot_den"):
         hotspot_cells(df, hot_num=0)
+
+
+def test_cluster_cells_vs_bruteforce(spark):
+    """cluster_cells == a pure-Python union-find over the same pinned
+    ring-1 geometric adjacency, restricted to cells meeting min_points,
+    with min-cell-id labels — on a layout with two planted blobs, a
+    sparse background, and sub-threshold noise cells."""
+    import numpy as np
+
+    from fairy_core_spark.spatial import hex7
+    from fairy_core_spark.spatial.ops import cluster_cells, with_cell
+
+    rows = []
+    # blob A: 40 points in a tight patch
+    for i in range(40):
+        rows.append((i, 10.0 + (i % 8) * 0.05, 20.0 + (i // 8) * 0.05))
+    # blob B: 30 points, separate patch
+    for i in range(30):
+        rows.append((100 + i, -25.0 + (i % 6) * 0.05, 80.0 + (i // 6) * 0.05))
+    # background: isolated singletons (below min_points=2)
+    for i in range(25):
+        rows.append((200 + i, -40.0 + i * 1.9, -150.0 + i * 2.1))
+    # isolated doubletons (qualify but have no qualifying neighbors)
+    for i in range(5):
+        rows.append((300 + 2 * i, 55.0 + i * 3.0, -60.0 + i * 3.0))
+        rows.append((301 + 2 * i, 55.0 + i * 3.0, -60.0 + i * 3.0))
+    pts = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    tiled = with_cell(pts, level=3, out="cell", scheme="hex7")
+    got = {
+        r["cell"]: (r["cluster_id"], r["n_points"])
+        for r in cluster_cells(tiled, cell_col="cell", min_points=2).collect()
+    }
+
+    counts: dict[int, int] = {}
+    for r in tiled.select("cell").collect():
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+    core = sorted(c for c, n in counts.items() if n >= 2)
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    core_set = set(core)
+    nb = hex7.neighbors_geo(np.array(core, dtype=np.int64))
+    for c, row in zip(core, nb):
+        for v in row.tolist():
+            v = int(v)
+            if v != c and v in core_set:
+                ra, rb = find(c), find(v)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component
+    label = {c: min(x for x in core if find(x) == find(c)) for c in core}
+
+    assert set(got) == core_set
+    for c in core:
+        assert got[c] == (label[c], counts[c]), c
+    # structure sanity: >= 2 multi-cell clusters (the blobs) and >= 1
+    # singleton cluster labeled by itself
+    from collections import Counter
+
+    sizes = Counter(lab for lab, _ in got.values())
+    assert sum(1 for s in sizes.values() if s >= 2) >= 2
+    singletons = [c for c in core if sizes[label[c]] == 1]
+    assert singletons and all(got[c][0] == c for c in singletons)
+
+
+def test_cluster_cells_min_points_one_keeps_all(spark):
+    from fairy_core_spark.spatial.ops import cluster_cells, with_cell
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, -60.0, 100.0)], "pid long, lat double, lon double"
+    )
+    tiled = with_cell(pts, level=2, out="cell", scheme="hex7")
+    rows = cluster_cells(tiled, cell_col="cell", min_points=1).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["cluster_id"] == r["cell"] and r["n_points"] == 1
+
+
+def test_cluster_cells_rejects_bad_min_points(spark):
+    import pytest as _pytest
+
+    from fairy_core_spark.spatial.ops import cluster_cells
+
+    df = spark.createDataFrame([(1,)], "cell long")
+    with _pytest.raises(ValueError, match="min_points"):
+        cluster_cells(df, min_points=0)
