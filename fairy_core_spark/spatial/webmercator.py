@@ -1,0 +1,148 @@
+"""Web-Mercator XYZ tiles + quadkeys (the slippy-map scheme) as pure
+Column math.
+
+The third cell scheme next to hex7 (`spatial/hex7.py`) and S2/Z-order
+(`spatial/s2.py`, `spatial/zorder.py`): the de-facto standard for
+*serving* raster imagery — every web map addresses tiles as
+``z/x/y.png`` — so a 100 TB image corpus keyed by these tiles can be
+joined directly against tile-addressed storage layouts and CDN logs.
+Semantics are the published slippy-map / Bing-quadkey algorithms
+(OpenStreetMap wiki "Slippy map tilenames"; Schwartz, "Bing Maps Tile
+System"), no reference impl — the reference has no spatial code
+(north-rule component).
+
+- **tile x**: ``floor((lon + 180) / 360 * 2^z)``, clamped to
+  ``[0, 2^z - 1]`` (lon = +180 maps to the last column, not a wrap).
+- **tile y**: latitude clamped to +-85.05112878 (the Web-Mercator square
+  limit, where ``|mercator y| = pi``), then
+  ``floor((1 - ln(tan(phi) + sec(phi)) / pi) / 2 * 2^z)``, clamped.
+- **quadkey**: zoom digits, MSB-first; digit k = 2*y_bit + x_bit —
+  base-4 string whose *prefix* is the parent tile at every coarser zoom,
+  so prefix filters give multi-resolution pruning for free.
+
+Everything is native Column arithmetic inside whole-stage codegen — no
+Python, no UDF. The x path is exact rational arithmetic (identical
+doubles in any IEEE engine); the y path crosses ``tan``/``ln``/``cos``
+whose last-ulp rounding may differ between libm implementations, so the
+driver oracle's cross-engine equality is additionally pinned empirically
+at sf 0.001/0.01/0.1 (boundary-hitting would need a point within ulps of
+an irrational tile edge).
+
+At 100 TB: `with_tiles` is one projection; rollups shuffle 2 int64s +
+one short string per row. Range pruning works on raw (x, y) min/max
+footer stats when data is written sorted by quadkey (`bbox_tile_filter`
+emits a closed x/y rectangle predicate, sargable by parquet).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# standard Web-Mercator latitude clamp: atan(sinh(pi)) in degrees
+MAX_LAT = 85.05112878
+
+# explicit degree->radian multiply instead of radians()/Math.toRadians:
+# engines disagree in the last ulp between x*(pi/180) and x/180*pi, so
+# every twin (Column, SQL oracle, py_tile) multiplies by this one double
+_DEG2RAD = math.pi / 180.0
+
+MAX_ZOOM = 23  # 2 * 23 bits + quadkey string stay cheap; zoom 23 ~ 5 m/px
+
+
+def _check_zoom(zoom: int) -> int:
+    if not (0 <= int(zoom) <= MAX_ZOOM):
+        raise ValueError(f"zoom must be in [0, {MAX_ZOOM}], got {zoom}")
+    return int(zoom)
+
+
+def tile_x_col(lon: Column, zoom: int) -> Column:
+    """Slippy-map tile column index at ``zoom`` — exact rational math."""
+    n = 1 << _check_zoom(zoom)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def tile_y_col(lat: Column, zoom: int) -> Column:
+    """Slippy-map tile row index at ``zoom`` (0 = north edge)."""
+    n = 1 << _check_zoom(zoom)
+    phi = F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT)) * F.lit(_DEG2RAD)
+    merc = (
+        F.lit(1.0) - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(math.pi)
+    ) / F.lit(2.0)
+    raw = F.floor(merc * F.lit(float(n)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def quadkey_col(x: Column, y: Column, zoom: int) -> Column:
+    """Bing-style base-4 quadkey string (length = zoom; '' at zoom 0).
+    Parent at zoom-1 == substring(qk, 1, zoom-1): prefix = containment."""
+    zoom = _check_zoom(zoom)
+    digits = [
+        (
+            F.shiftright(y, bit).bitwiseAND(F.lit(1)) * F.lit(2)
+            + F.shiftright(x, bit).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for bit in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits) if digits else F.lit("")
+
+
+def parent_tile(x: Column, y: Column) -> tuple[Column, Column]:
+    """(x, y) of the containing tile one zoom coarser — pure bit math."""
+    return F.shiftright(x, 1), F.shiftright(y, 1)
+
+
+def with_tiles(
+    df: DataFrame,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    prefix: str = "tile_",
+    quadkey: bool = True,
+) -> DataFrame:
+    """Add ``{prefix}x``, ``{prefix}y`` (and ``quadkey``) columns — one
+    codegen projection, no shuffle."""
+    x = tile_x_col(F.col(lon_col), zoom)
+    y = tile_y_col(F.col(lat_col), zoom)
+    out = df.withColumn(f"{prefix}x", x).withColumn(f"{prefix}y", y)
+    if quadkey:
+        out = out.withColumn(
+            "quadkey", quadkey_col(F.col(f"{prefix}x"), F.col(f"{prefix}y"), zoom)
+        )
+    return out
+
+
+def py_tile(lat: float, lon: float, zoom: int) -> tuple[int, int]:
+    """Driver-side scalar twin of (tile_x_col, tile_y_col) — same formula,
+    used for bbox bounds and by tests as the independent reference."""
+    n = 1 << _check_zoom(zoom)
+    x = int(math.floor((lon + 180.0) / 360.0 * float(n)))
+    latc = min(max(lat, -MAX_LAT), MAX_LAT)
+    phi = latc * _DEG2RAD
+    merc = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.pi) / 2.0
+    y = int(math.floor(merc * float(n)))
+    return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+
+def bbox_tile_filter(
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    zoom: int,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> Column:
+    """Closed-rectangle tile predicate covering the bbox at ``zoom`` —
+    two BETWEENs on int64 columns, sargable by parquet min/max footer
+    stats (y grows southward, so lat1/lat0 swap). Conservative: keeps
+    every tile that intersects the bbox; callers refine on raw lat/lon.
+    No antimeridian wrap (same contract as zorder.zranges_for_bbox)."""
+    if lat1 < lat0 or lon1 < lon0:
+        raise ValueError("bbox must satisfy lat0 <= lat1 and lon0 <= lon1")
+    x_lo, y_lo = py_tile(lat1, lon0, zoom)  # north-west corner
+    x_hi, y_hi = py_tile(lat0, lon1, zoom)  # south-east corner
+    return F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)

@@ -1,0 +1,136 @@
+"""Web-Mercator XYZ tile + quadkey encoding (spatial/webmercator.py)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.spatial.webmercator import (
+    MAX_LAT,
+    bbox_tile_filter,
+    parent_tile,
+    py_tile,
+    quadkey_col,
+    tile_x_col,
+    tile_y_col,
+    with_tiles,
+)
+
+
+def _rand_points(n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-88.0, 88.0, n)  # crosses the mercator clamp
+    lon = rng.uniform(-180.0, 180.0, n)
+    return [(int(i), float(a), float(o)) for i, (a, o) in enumerate(zip(lat, lon))]
+
+
+def test_published_quadkey_vector(spark):
+    """Bing Maps Tile System doc: tile (x=3, y=5) at level 3 -> '213'."""
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    got = df.select(quadkey_col(F.col("x"), F.col("y"), 3).alias("qk")).first()["qk"]
+    assert got == "213"
+
+
+def test_exact_anchors(spark):
+    """Formula-independent anchors: world center, edges, pole clamp."""
+    for zoom in (1, 4, 9):
+        n = 1 << zoom
+        rows = [
+            (1, 0.0, 0.0),       # center -> (n/2, n/2)
+            (2, 0.0, -180.0),    # west edge -> x = 0
+            (3, 0.0, 180.0),     # east edge clamps to last column
+            (4, 89.9, 0.0),      # beyond mercator clamp -> y = 0
+            (5, -89.9, 0.0),     # -> y = n-1
+            (6, MAX_LAT, 0.0),   # exactly at the clamp -> y = 0
+        ]
+        df = spark.createDataFrame(rows, "i long, lat double, lon double")
+        got = {
+            r["i"]: (r["x"], r["y"])
+            for r in df.select(
+                "i",
+                tile_x_col(F.col("lon"), zoom).alias("x"),
+                tile_y_col(F.col("lat"), zoom).alias("y"),
+            ).collect()
+        }
+        assert got[1] == (n // 2, n // 2)
+        assert got[2][0] == 0
+        assert got[3][0] == n - 1
+        assert got[4][1] == 0
+        assert got[5][1] == n - 1
+        assert got[6][1] == 0
+
+
+def test_columns_match_scalar_twin(spark):
+    """Spark Column math == py_tile on random points at several zooms."""
+    pts = _rand_points()
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    for zoom in (0, 3, 7, 15):
+        got = {
+            r["i"]: (r["x"], r["y"])
+            for r in df.select(
+                "i",
+                tile_x_col(F.col("lon"), zoom).alias("x"),
+                tile_y_col(F.col("lat"), zoom).alias("y"),
+            ).collect()
+        }
+        for i, lat, lon in pts:
+            assert got[i] == py_tile(lat, lon, zoom), (i, lat, lon, zoom)
+
+
+def test_y_hemisphere_symmetry(spark):
+    """tile_y(-lat) == n-1 - tile_y(lat) away from tile boundaries."""
+    zoom, n = 8, 256
+    pts = [(i, 0.37 + i * 0.3137) for i in range(200)]
+    df = spark.createDataFrame(pts, "i long, lat double")
+    rows = df.select(
+        "i",
+        tile_y_col(F.col("lat"), zoom).alias("yn"),
+        tile_y_col(-F.col("lat"), zoom).alias("ys"),
+    ).collect()
+    assert rows and all(r["ys"] == n - 1 - r["yn"] for r in rows)
+
+
+def test_quadkey_prefix_is_parent(spark):
+    """quadkey(z) == quadkey(parent, z-1) + last digit; digit in 0..3."""
+    zoom = 9
+    pts = _rand_points(150, seed=5)
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    tiled = with_tiles(df, zoom)
+    px, py_ = parent_tile(F.col("tile_x"), F.col("tile_y"))
+    rows = tiled.select(
+        "quadkey", quadkey_col(px, py_, zoom - 1).alias("pqk")
+    ).collect()
+    for r in rows:
+        assert len(r["quadkey"]) == zoom
+        assert r["quadkey"][:-1] == r["pqk"]
+        assert r["quadkey"][-1] in "0123"
+
+
+def test_quadkey_zoom_zero_empty(spark):
+    df = spark.createDataFrame([(0, 0)], "x long, y long")
+    assert df.select(quadkey_col(F.col("x"), F.col("y"), 0).alias("q")).first()["q"] == ""
+
+
+def test_bbox_tile_filter_conservative(spark):
+    """Every point inside the bbox survives the tile predicate; the
+    predicate prunes most of the world at zoom 8."""
+    pts = _rand_points(600, seed=23)
+    df = with_tiles(spark.createDataFrame(pts, "i long, lat double, lon double"), 8)
+    lat0, lat1, lon0, lon1 = -10.0, 25.0, 30.0, 80.0
+    kept = df.where(bbox_tile_filter(lat0, lat1, lon0, lon1, 8))
+    kept_ids = {r["i"] for r in kept.select("i").collect()}
+    inside = {
+        i for i, lat, lon in pts if lat0 <= lat <= lat1 and lon0 <= lon <= lon1
+    }
+    assert inside <= kept_ids
+    assert len(kept_ids) < len(pts) / 2  # actually prunes
+
+
+def test_rejects_bad_args(spark):
+    with pytest.raises(ValueError, match="zoom"):
+        py_tile(0.0, 0.0, 24)
+    with pytest.raises(ValueError, match="zoom"):
+        tile_x_col(F.lit(0.0), -1)
+    with pytest.raises(ValueError, match="bbox"):
+        bbox_tile_filter(10.0, -10.0, 0.0, 1.0, 5)
