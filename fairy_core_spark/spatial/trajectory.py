@@ -1,0 +1,115 @@
+"""Trajectory / movement analytics over timestamped point streams.
+
+Per-entity path statistics — the movement-data staple (fleet telemetry,
+device pings, photo-EXIF tracks) — as pure Column math: haversine hop
+distances via a window lag, reduced per entity. No reference impl — the
+reference has no spatial code (north-rule component).
+
+Cross-engine determinism contract (same discipline as
+`spatial/webmercator.py`): deg->rad is an explicit multiply by one
+shared double; hop distances are rounded to integer meters BEFORE the
+sum, so the per-entity total is an int64 sum — associative, immune to
+aggregation order — instead of a float sum whose low bits depend on
+partial-aggregation order. The only libm crossings are sin/cos/asin/
+sqrt inside a single hop, bounded by the half-meter rounding slack.
+
+At 100 TB: ONE shuffle per call — the window partitions by the entity
+and sorts by (ts, tiebreaker); the closing groupBy reuses the exact same
+partitioning, so Catalyst plans it shuffle-free on top of the window's
+sort. State per row in flight: two lagged doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEG2RAD = math.pi / 180.0
+
+# IUGG mean Earth radius (meters) — the public standard constant
+R_EARTH_M = 6371008.8
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters (double) — the published haversine
+    formula, sqrt argument clamped to [0, 1] against rounding overshoot
+    at antipodes."""
+    d2r = F.lit(_DEG2RAD)
+    p1, p2 = lat1 * d2r, lat2 * d2r
+    sdphi = F.sin((lat2 - lat1) * d2r / F.lit(2.0))
+    sdlmb = F.sin((lon2 - lon1) * d2r / F.lit(2.0))
+    a = sdphi * sdphi + F.cos(p1) * F.cos(p2) * sdlmb * sdlmb
+    return (
+        F.lit(2.0 * R_EARTH_M)
+        * F.asin(F.sqrt(F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))))
+    )
+
+
+def path_stats(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity movement summary: one row per entity with
+
+    - ``n_points`` — points observed
+    - ``n_hops`` — consecutive-point segments (n_points - 1)
+    - ``path_m`` — traveled distance: sum of per-hop integer meters
+    - ``net_m`` — first-point -> last-point displacement, integer meters
+      (``path_m >= net_m`` up to the per-hop rounding slack)
+
+    ``tiebreak_col`` makes the visit order total when timestamps can
+    tie (REQUIRED for deterministic results on tied data — pass the
+    event id). First/last coordinates ride the same window sort as the
+    lag, so the whole operator costs one shuffle.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    hop = F.when(
+        F.lag(lat).over(w).isNotNull(),
+        F.round(haversine_m(F.lag(lat).over(w), F.lag(lon).over(w), lat, lon), 0)
+        .cast("long"),
+    )
+    hopped = df.select(
+        F.col(entity_col),
+        hop.alias("hop_m"),
+        F.first(lat).over(w_full).alias("flat"),
+        F.first(lon).over(w_full).alias("flon"),
+        F.last(lat).over(w_full).alias("llat"),
+        F.last(lon).over(w_full).alias("llon"),
+    )
+    return (
+        hopped.groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("hop_m").alias("n_hops"),
+            F.coalesce(F.sum("hop_m"), F.lit(0)).cast("long").alias("path_m"),
+            F.max("flat").alias("_flat"),
+            F.max("flon").alias("_flon"),
+            F.max("llat").alias("_llat"),
+            F.max("llon").alias("_llon"),
+        )
+        .select(
+            entity_col,
+            "n_points",
+            "n_hops",
+            "path_m",
+            F.round(
+                haversine_m(
+                    F.col("_flat"), F.col("_flon"), F.col("_llat"), F.col("_llon")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("net_m"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Trajectory path stats (spatial/trajectory.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairy_core_spark.spatial.trajectory import R_EARTH_M, haversine_m, path_stats
+
+_DEG2RAD = math.pi / 180.0
+
+
+def _py_hav(lat1, lon1, lat2, lon2):
+    p1, p2 = lat1 * _DEG2RAD, lat2 * _DEG2RAD
+    sdphi = math.sin((lat2 - lat1) * _DEG2RAD / 2.0)
+    sdlmb = math.sin((lon2 - lon1) * _DEG2RAD / 2.0)
+    a = sdphi * sdphi + math.cos(p1) * math.cos(p2) * sdlmb * sdlmb
+    return 2.0 * R_EARTH_M * math.asin(math.sqrt(min(max(a, 0.0), 1.0)))
+
+
+def test_haversine_known_distances(spark):
+    """Quarter meridian/equator arcs and antipodes — closed-form on a
+    sphere: distance = R * central angle."""
+    rows = [
+        (1, 0.0, 0.0, 0.0, 90.0),    # quarter equator: R*pi/2
+        (2, 0.0, 0.0, 90.0, 0.0),    # equator->pole:   R*pi/2
+        (3, 0.0, 0.0, 0.0, 180.0),   # antipodes:       R*pi
+        (4, 12.5, -33.0, 12.5, -33.0),  # same point: 0
+    ]
+    df = spark.createDataFrame(rows, "i long, a double, b double, c double, d double")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+        ).collect()
+    }
+    assert abs(got[1] - R_EARTH_M * math.pi / 2) < 1e-6
+    assert abs(got[2] - R_EARTH_M * math.pi / 2) < 1e-6
+    assert abs(got[3] - R_EARTH_M * math.pi) < 1e-6
+    assert got[4] == 0.0
+
+
+def test_path_stats_vs_bruteforce(spark):
+    """path/net/hops == a pure-Python replay on multi-user tracks with
+    tied timestamps (tiebreaker decides), incl. a single-point user."""
+    rows = []
+    tracks = {
+        10: [(0, 10.0, 20.0), (1, 10.5, 20.0), (2, 10.5, 21.0), (3, 9.0, 19.0)],
+        20: [(4, -40.0, 100.0), (5, -40.0, 100.0), (6, -41.0, 101.5)],
+        30: [(7, 0.0, 0.0)],  # single point
+    }
+    # tied timestamps: user 40 has two points at the same ts; event_id orders
+    tracks[40] = [(8, 5.0, 5.0), (9, 6.0, 5.0)]
+    ts_of = {8: 100, 9: 100}
+    for uid, pts in tracks.items():
+        for eid, lat, lon in pts:
+            rows.append((uid, ts_of.get(eid, eid), eid, lat, lon))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, lat double, lon double")
+    got = {
+        r["user_id"]: (r["n_points"], r["n_hops"], r["path_m"], r["net_m"])
+        for r in path_stats(df, tiebreak_col="event_id").collect()
+    }
+    for uid, pts in tracks.items():
+        ordered = sorted(pts, key=lambda p: (ts_of.get(p[0], p[0]), p[0]))
+        hops = [
+            int(round(_py_hav(a[1], a[2], b[1], b[2])))
+            for a, b in zip(ordered, ordered[1:])
+        ]
+        net = int(round(_py_hav(*ordered[0][1:], *ordered[-1][1:])))
+        assert got[uid] == (len(ordered), len(hops), sum(hops), net), uid
+    # structural: traveled >= displacement
+    assert all(p >= n for (_, _, p, n) in got.values())
+    # single-point user: zeros
+    assert got[30] == (1, 0, 0, 0)
+
+
+def test_path_stats_single_shuffle(spark):
+    """The closing groupBy reuses the window's hash partitioning — the
+    physical plan contains exactly ONE exchange."""
+    df = spark.createDataFrame(
+        [(1, 1, 1, 0.0, 0.0), (1, 2, 2, 1.0, 1.0)],
+        "user_id long, ts long, event_id long, lat double, lon double",
+    )
+    plan = path_stats(df, tiebreak_col="event_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_path_stats_empty(spark):
+    df = spark.createDataFrame([], "user_id long, ts long, event_id long, lat double, lon double")
+    assert path_stats(df, tiebreak_col="event_id").count() == 0
