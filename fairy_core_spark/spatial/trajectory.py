@@ -113,3 +113,60 @@ def path_stats(
             .alias("net_m"),
         )
     )
+
+
+def dwell_episodes(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    region_col: str = "region",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Region-visit episodes (geofence dwell): consecutive same-region
+    runs in each entity's visit order become one episode — the classic
+    gaps-and-islands shape. Rows whose ``region_col`` is NULL (outside
+    every region) break episodes but never form one.
+
+    Output: one row per (entity, episode) — ``episode_seq`` (1-based in
+    enter order), ``region``, ``enter_ts``, ``exit_ts``, ``n_points``,
+    ``dwell_us`` (exit - enter in exact integer microseconds; engines
+    disagree on fractional-second flooring, integers can't).
+
+    Everything is exact integer/comparison math — no floats anywhere, so
+    any SQL engine replays it bit-for-bit. Plan: ONE shuffle — the
+    boundary-flag window, the episode-id running sum, the episode
+    groupBy, and the enter-order row_number all ride the same
+    entity-hash partitioning (groupBy keys are a superset of the
+    window's partition key; Catalyst recognizes the co-location).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    region = F.col(region_col)
+    # boundary when region differs from the previous row's (null-safe)
+    is_new = (~region.eqNullSafe(F.lag(region).over(w))).cast("long")
+    eid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    flagged = df.select(
+        F.col(entity_col), F.col(ts_col), region.alias("region"), eid.alias("_eid")
+    ).where(F.col("region").isNotNull())
+    per_entity = Window.partitionBy(entity_col).orderBy("enter_ts", "_eid")
+    return (
+        flagged.groupBy(entity_col, "_eid", "region")
+        .agg(
+            F.min(ts_col).alias("enter_ts"),
+            F.max(ts_col).alias("exit_ts"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            entity_col,
+            F.row_number().over(per_entity).alias("episode_seq"),
+            "region",
+            "enter_ts",
+            "exit_ts",
+            "n_points",
+            # cast covers TIMESTAMP_NTZ sources (UTC session tz — exact)
+            (
+                F.unix_micros(F.col("exit_ts").cast("timestamp"))
+                - F.unix_micros(F.col("enter_ts").cast("timestamp"))
+            ).alias("dwell_us"),
+        )
+    )

@@ -88,3 +88,57 @@ def test_path_stats_single_shuffle(spark):
 def test_path_stats_empty(spark):
     df = spark.createDataFrame([], "user_id long, ts long, event_id long, lat double, lon double")
     assert path_stats(df, tiebreak_col="event_id").count() == 0
+
+
+def test_dwell_episodes_vs_bruteforce(spark):
+    """Episodes == a pure-Python gaps-and-islands replay: A-B-A yields
+    two A-episodes; NULL gaps break runs but never form episodes."""
+    from fairy_core_spark.spatial.trajectory import dwell_episodes
+
+    tracks = {
+        1: ["A", "A", "B", "A", None, "A", "A"],
+        2: [None, None],
+        3: ["C"],
+        4: ["A", None, "A"],
+    }
+    rows = []
+    for uid, regs in tracks.items():
+        for i, reg in enumerate(regs):
+            rows.append((uid, 1000 * uid + i * 7, i, reg))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, region string")
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts") * 1000000))
+    got = [
+        (r["user_id"], r["episode_seq"], r["region"], r["n_points"], r["dwell_us"])
+        for r in dwell_episodes(df, tiebreak_col="event_id").collect()
+    ]
+
+    want = []
+    for uid, regs in tracks.items():
+        seq, i = 0, 0
+        while i < len(regs):
+            if regs[i] is None:
+                i += 1
+                continue
+            j = i
+            while j + 1 < len(regs) and regs[j + 1] == regs[i]:
+                j += 1
+            seq += 1
+            want.append((uid, seq, regs[i], j - i + 1, (j - i) * 7 * 1_000_000))
+            i = j + 1
+    assert sorted(got) == sorted(want)
+
+
+def test_dwell_episodes_single_shuffle(spark):
+    from fairy_core_spark.spatial.trajectory import dwell_episodes
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "A"), (1, 2, 2, "A")],
+        "user_id long, ts long, event_id long, region string",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+    plan = (
+        dwell_episodes(df, tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
