@@ -115,6 +115,30 @@ def with_tiles(
     return out
 
 
+def pyramid(
+    df: DataFrame,
+    quadkey_col: str = "quadkey",
+    zooms: tuple[int, ...] = (12, 8, 4),
+) -> DataFrame:
+    """Web-Mercator member of the pyramid trio (hex7_ops.hex7_pyramid,
+    ops.s2_pyramid): explode each row to every zoom as ``(res, cell)``
+    where ``cell`` is the quadkey PREFIX at that zoom — containment =
+    prefix, so the parent function is a substring, evaluated through the
+    same single codegen Generate(stack) (one shuffle for the whole
+    pyramid). Input quadkeys must be at ``max(zooms)``. cell is the
+    base-4 string (the interchange form); shuffle-size-sensitive callers
+    can map it to the equivalent int64 Morton code — same digits, base 4.
+    """
+    from fairy_core_spark.spatial.hex7_ops import pyramid_stack
+
+    lvls = sorted({int(z) for z in zooms}, reverse=True)
+    if not lvls or lvls[-1] < 0 or lvls[0] > MAX_ZOOM:
+        raise ValueError(f"zooms must be non-empty, all in [0, {MAX_ZOOM}], got {zooms}")
+    return pyramid_stack(
+        df, quadkey_col, lvls, lambda c, z: F.substring(c, 1, z)
+    )
+
+
 def py_tile(lat: float, lon: float, zoom: int) -> tuple[int, int]:
     """Driver-side scalar twin of (tile_x_col, tile_y_col) — same formula,
     used for bbox bounds and by tests as the independent reference."""

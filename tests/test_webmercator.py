@@ -134,3 +134,34 @@ def test_rejects_bad_args(spark):
         tile_x_col(F.lit(0.0), -1)
     with pytest.raises(ValueError, match="bbox"):
         bbox_tile_filter(10.0, -10.0, 0.0, 1.0, 5)
+
+
+def test_pyramid_prefix_rollup(spark):
+    """pyramid == per-zoom substring rollup recomputed in Python; zoom-0
+    level collapses everything to the '' root tile."""
+    from fairy_core_spark.spatial.webmercator import pyramid, with_tiles
+
+    pts = _rand_points(200, seed=31)
+    df = with_tiles(spark.createDataFrame(pts, "i long, lat double, lon double"), 10)
+    qks = [r["quadkey"] for r in df.select("quadkey").collect()]
+    out = pyramid(df.select("quadkey"), zooms=(10, 6, 0))
+    got = {}
+    for r in out.groupBy("res", "cell").count().collect():
+        got[(r["res"], r["cell"])] = r["count"]
+    want = {}
+    for z in (10, 6, 0):
+        for qk in qks:
+            k = (z, qk[:z])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert got[(0, "")] == len(qks)
+
+
+def test_pyramid_rejects_bad_zooms(spark):
+    from fairy_core_spark.spatial.webmercator import pyramid
+
+    df = spark.createDataFrame([("012",)], "quadkey string")
+    with pytest.raises(ValueError, match="zooms"):
+        pyramid(df, zooms=())
+    with pytest.raises(ValueError, match="zooms"):
+        pyramid(df, zooms=(3, 24))
