@@ -34,7 +34,7 @@ SHOWCASE = [
     ("spatial_pip_rtree", "broadcast STR-packed R-tree PIP; same zero-shuffle shape as grid"),
     ("spatial_zorder_encode", "Z-order+geohash: pure codegen bit math — zero Python, zero shuffle"),
     ("spatial_bbox_join", "overlay join: explode to cells -> ONE equi-join -> refine; min-corner emission, no dedup anywhere"),
-    ("dedup_dup_groups", "final plan is ExistingRDD BY DESIGN: localCheckpoint truncates the O(diameter) propagation rounds' lineage (each round = one groupBy on edge ids) so round k+1 never replays rounds 1..k"),
+    ("dedup_dup_groups", "final plan is ExistingRDD BY DESIGN: localCheckpoint truncates the pointer-jumping propagation rounds' lineage (O(log diameter) rounds; each = one groupBy + one label-shortcut join) so round k+1 never replays rounds 1..k"),
     ("corpus_clean", "langid+quality native projection; tiny non-canonical-dup id set anti-joined (checkpointed CC output; at scale the left side shuffles only (doc_id,lang,quality))"),
     ("spatial_hex7_parent_rollup", "ONE Arrow encode at the finest res; cellToParent is pure codegen bit math (no second Python eval) feeding a map-side-combined rollup"),
     ("spatial_hex7_pip_join", "hex7 polyfill covering broadcast -> equi-join on cell -> Arrow ray-cast refine; the non-broadcast-polygons spatial-join shape"),
@@ -47,6 +47,11 @@ SHOWCASE = [
     ("image_meta_filter", "pre-decode metadata filter: first-match CASE projection, integer-exact aspect test; the projection drops bytes immediately, so nothing above the (cached synth) source ever carries pixels"),
     ("caption_dedup_exact", "caption-body dedup: split projection -> map-side-combined groupBy on short strings; shuffle never carries image bytes"),
     ("maintenance_compaction_plan", "binPack planning: ONE window over manifest-metadata rows partitioned by table partition — no data scanned, no global sort"),
+    ("spatial_webmercator_rollup", "web-mercator tiles: the ln/tan slippy-map encode is pure codegen Column math — zero Python — feeding one map-side-combined rollup shuffle"),
+    ("spatial_webmercator_pyramid", "quadkey pyramid: substring-prefix parents through ONE codegen Generate(stack) + one shuffle for all zooms (third member of the pyramid trio)"),
+    ("traj_user_path_stats", "trajectory stats: the closing groupBy reuses the window's entity-hash partitioning — exactly ONE Exchange; integer-meter hops make the path sum aggregation-order-proof"),
+    ("traj_dwell_episodes", "dwell episodes: boundary-flag window, running-sum episode ids, episode groupBy, and enter-order seq all ride ONE entity shuffle; float-free end-to-end"),
+    ("retention_weekly_cohorts", "cohort retention: first-event window min rides the SAME user_id shuffle the distinct count repartitions to — two shuffles total, no self-join"),
 ]
 
 
