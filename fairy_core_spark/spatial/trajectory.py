@@ -115,6 +115,44 @@ def path_stats(
     )
 
 
+def od_matrix(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    loc_col: str = "quadkey",
+    bucket_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Origin-destination flow matrix: each (entity[, bucket]) group is
+    one trip from its FIRST location to its LAST (by visit order); flows
+    aggregate trips per (origin, dest) — the transport/mobility staple
+    over any location key (quadkey, hex cell, region id).
+
+    Output: (origin, dest, n_trips). Single-point trips count as
+    origin == dest self-flows (callers filter if unwanted).
+
+    Plan: the first/last window, the one-row-per-trip dropDuplicates
+    (its keys are a superset of the window's partition keys — no new
+    shuffle), then ONE flow groupBy. Two shuffles total; the flow
+    shuffle carries only (origin, dest) pairs.
+    """
+    parts = [entity_col] + ([bucket_col] if bucket_col else [])
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    trips = df.select(
+        *[F.col(c) for c in parts],
+        F.first(loc_col).over(w).alias("origin"),
+        F.last(loc_col).over(w).alias("dest"),
+    ).dropDuplicates(parts)
+    return trips.groupBy("origin", "dest").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
 def dwell_episodes(
     df: DataFrame,
     entity_col: str = "user_id",

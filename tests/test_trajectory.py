@@ -142,3 +142,47 @@ def test_dwell_episodes_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_od_matrix_vs_bruteforce(spark):
+    """Flows == a Python replay: first/last location per (entity, day),
+    self-flows for single-point trips, tiebreaker decides tied ts."""
+    from fairy_core_spark.spatial.trajectory import od_matrix
+
+    rows = [
+        # (user, day, ts, event_id, loc)
+        (1, "d1", 10, 1, "A"), (1, "d1", 20, 2, "B"), (1, "d1", 30, 3, "C"),
+        (1, "d2", 10, 4, "C"), (1, "d2", 40, 5, "A"),
+        (2, "d1", 10, 6, "A"), (2, "d1", 50, 7, "C"),
+        (3, "d1", 10, 8, "B"),                      # single point: B->B
+        (4, "d1", 10, 9, "A"), (4, "d1", 10, 10, "C"),  # tied ts: id orders
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day string, ts long, event_id long, quadkey string"
+    )
+    got = {
+        (r["origin"], r["dest"]): r["n_trips"]
+        for r in od_matrix(
+            df, bucket_col="day", tiebreak_col="event_id"
+        ).collect()
+    }
+    # user1 d1: A->C; user1 d2: C->A; user2 d1: A->C; user3: B->B;
+    # user4 tied ts -> event_id order: first=9(A), last=10(C) -> A->C
+    want = {("A", "C"): 3, ("B", "B"): 1, ("C", "A"): 1}
+    assert got == want
+
+
+def test_od_matrix_two_shuffles(spark):
+    from fairy_core_spark.spatial.trajectory import od_matrix
+
+    df = spark.createDataFrame(
+        [(1, "d1", 1, 1, "A"), (1, "d1", 2, 2, "B")],
+        "user_id long, day string, ts long, event_id long, quadkey string",
+    )
+    plan = (
+        od_matrix(df, bucket_col="day", tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
