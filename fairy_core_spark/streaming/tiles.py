@@ -33,6 +33,31 @@ from pyspark.sql import functions as F
 from fairy_core_spark.spatial.ops import TILE_LEVEL, with_cell
 
 
+def _encode_cell(
+    stream: DataFrame, lat_col: str, lon_col: str, level: int, out: str, scheme: str
+) -> DataFrame:
+    """Scheme dispatch for the streaming encode. s2/hex7 are one Arrow
+    projection (with_cell); webmercator is pure Column math — the cell is
+    the base-4 quadkey string at zoom ``level`` and the streaming plan
+    contains NO Python at all."""
+    if scheme == "webmercator":
+        from fairy_core_spark.spatial.webmercator import (
+            quadkey_col,
+            tile_x_col,
+            tile_y_col,
+        )
+
+        return stream.withColumn(
+            out,
+            quadkey_col(
+                tile_x_col(F.col(lon_col), level),
+                tile_y_col(F.col(lat_col), level),
+                level,
+            ),
+        )
+    return with_cell(stream, lat_col, lon_col, level, out=out, scheme=scheme)
+
+
 def streaming_tile_rollup(
     stream: DataFrame,
     lat_col: str = "lat",
@@ -52,12 +77,14 @@ def streaming_tile_rollup(
     approx_distinct_phash, approx_phash_dups) for ``writeStream`` in append
     mode. Column set mirrors the batch ``tile_aggregates`` where streaming
     semantics allow (exact dup counts need the batch path or
-    ``foreach_batch_tile_writer``). ``cell_scheme``: "s2" (default) or
-    "hex7" (hexagonal tiles — pass a hex7 res as ``level``); the encode
-    is a stateless projection, so the scheme choice does not touch
-    watermark/state semantics.
+    ``foreach_batch_tile_writer``). ``cell_scheme``: "s2" (default),
+    "hex7" (hexagonal tiles — pass a hex7 res as ``level``), or
+    "webmercator" (slippy-map tiles — pass a zoom; tile_id is the base-4
+    quadkey string and the encode is zero-Python Column math); the
+    encode is a stateless projection either way, so the scheme choice
+    does not touch watermark/state semantics.
     """
-    tiled = with_cell(stream, lat_col, lon_col, level, out="tile_id", scheme=cell_scheme)
+    tiled = _encode_cell(stream, lat_col, lon_col, level, "tile_id", cell_scheme)
     tiled = tiled.withColumn("__event_ts", F.col(ts_col).cast("timestamp"))
     win = F.window(F.col("__event_ts"), window, slide or window)
     n = F.count(F.lit(1))
@@ -141,9 +168,11 @@ def streaming_tile_pyramid(
     cell_scheme: str = "s2",
 ) -> DataFrame:
     """Multi-resolution streaming rollup: (window, res, cell, n_images,
-    avg_w, avg_h) for every pyramid level at once. Encode ONCE at
-    ``max(levels)`` (the only Python in the plan); coarser cells are
-    stateless codegen parent bit math riding the same one-pass
+    avg_w, avg_h) for every pyramid level at once, for any of the three
+    cell schemes ("s2", "hex7", "webmercator" — the latter fully
+    Python-free: quadkey encode + substring-prefix parents). Encode ONCE
+    at ``max(levels)`` (for s2/hex7, the only Python in the plan);
+    coarser cells are stateless codegen parent math riding the same one-pass
     Generate(stack) as the batch pyramid (spatial/ops.s2_pyramid /
     spatial/hex7_ops.hex7_pyramid), so streaming state stays one
     watermark-closed aggregation over O(open windows x active cells
@@ -152,11 +181,15 @@ def streaming_tile_pyramid(
     (two chained streaming aggs would be illegal in append mode anyway).
     """
     base = max(int(l) for l in levels)
-    tiled = with_cell(stream, lat_col, lon_col, base, out="__cell", scheme=cell_scheme)
+    tiled = _encode_cell(stream, lat_col, lon_col, base, "__cell", cell_scheme)
     if cell_scheme == "hex7":
         from fairy_core_spark.spatial.hex7_ops import hex7_pyramid
 
         stacked = hex7_pyramid(tiled, cell_col="__cell", levels=levels)
+    elif cell_scheme == "webmercator":
+        from fairy_core_spark.spatial.webmercator import pyramid
+
+        stacked = pyramid(tiled, quadkey_col="__cell", zooms=levels)
     else:
         from fairy_core_spark.spatial.ops import s2_pyramid
 

@@ -345,3 +345,60 @@ def test_streaming_pyramid_matches_batch_on_closed_windows(spark, tmp_path):
         }
         closed_got = {k: v for k, v in got.items() if k[0] < last_ws}
         assert closed_got == exp
+
+
+def test_streaming_pyramid_webmercator_matches_batch(spark, tmp_path):
+    """streaming_tile_pyramid(cell_scheme='webmercator') == the batch
+    quadkey pyramid on closed windows; the streaming plan is fully
+    Python-free (no ArrowEvalPython / BatchEvalPython nodes)."""
+    from fairy_core_spark.spatial.webmercator import pyramid, with_tiles
+    from fairy_core_spark.streaming.tiles import streaming_tile_pyramid
+
+    src = tmp_path / "pyr_wm_src"
+    batch = _source_df(spark)
+    batch.write.parquet(str(src))
+    lvls = (8, 5)
+
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(str(src))
+    out = streaming_tile_pyramid(
+        stream, levels=lvls, window="1 hour",
+        watermark="0 seconds", cell_scheme="webmercator",
+    )
+    assert "Python" not in out._jdf.queryExecution().analyzed().toString()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyr_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["ws"], r["res"], r["cell"]): (r["n_images"], r["avg_w"], r["avg_h"])
+        for r in spark.sql(
+            "SELECT window.start AS ws, res, cell, n_images, avg_w, avg_h FROM pyr_wm"
+        ).collect()
+    }
+    assert got, "no closed windows emitted (webmercator)"
+
+    tiled = with_tiles(batch, zoom=max(lvls), prefix="__t").withColumnRenamed(
+        "quadkey", "__cell"
+    ).drop("__tx", "__ty")
+    exp_df = (
+        pyramid(tiled, quadkey_col="__cell", zooms=lvls)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("window"), "res", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("w"), 4).alias("avg_w"),
+            F.round(F.avg("h"), 4).alias("avg_h"),
+        )
+        .select(F.col("window.start").alias("ws"), "res", "cell", "n_images", "avg_w", "avg_h")
+    )
+    last_ws = exp_df.agg(F.max("ws").alias("m")).collect()[0]["m"]
+    exp = {
+        (r["ws"], r["res"], r["cell"]): (r["n_images"], r["avg_w"], r["avg_h"])
+        for r in exp_df.where(F.col("ws") < F.lit(last_ws)).collect()
+    }
+    closed_got = {k: v for k, v in got.items() if k[0] < last_ws}
+    assert closed_got == exp
