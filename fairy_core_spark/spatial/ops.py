@@ -883,13 +883,14 @@ def cluster_cells(
 
     Plan (the 100 TB story): one map-side-combined groupBy on the points;
     the adjacency expansion, the qualifying-neighbor join, and the
-    min-label connected components (operators/dedup.connected_components
-    — localCheckpoint-truncated rounds, state = (int64, int64) pairs) all
-    run on the core-CELL frame, which is smaller than the input by the
-    mean cell occupancy. Rounds = cluster graph diameter: fine for blob
-    clusters; a continent-spanning chain of adjacent occupied cells needs
-    ``max_iters`` raised (the run fails loudly rather than returning
-    partial labels).
+    pointer-jumping min-label connected components
+    (operators/dedup.connected_components — localCheckpoint-truncated
+    rounds, state = (int64, int64) pairs) all run on the core-CELL
+    frame, which is smaller than the input by the mean cell occupancy.
+    Rounds = O(log diameter) thanks to the label shortcut, so even a
+    continent-spanning chain of adjacent occupied cells converges in a
+    few dozen rounds; if ``max_iters`` is still exhausted the run fails
+    loudly rather than returning partial labels.
     """
     from fairy_core_spark.operators.dedup import connected_components
 
@@ -901,15 +902,27 @@ def cluster_cells(
         .where(F.col("n_points") >= int(min_points))
         .persist()
     )
-    # adjacency restricted to qualifying cells on BOTH endpoints
-    edges = _ring1_edges(counts, cell_col).join(
-        counts.select(F.col(cell_col).alias("nbr")), "nbr"
+    # adjacency restricted to qualifying cells on BOTH endpoints; ring-1
+    # geometric adjacency can be asymmetric at face boundaries, so
+    # canonicalize (least, greatest) + dedup rather than filtering one
+    # direction — halves the edge frame connected_components re-joins
+    # every round (it symmetrizes internally) without risking edge loss
+    edges = (
+        _ring1_edges(counts, cell_col)
+        .join(counts.select(F.col(cell_col).alias("nbr")), "nbr")
+        .select(
+            F.least(F.col(cell_col), F.col("nbr")).alias("id_a"),
+            F.greatest(F.col(cell_col), F.col("nbr")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    cc = connected_components(
-        edges.select(F.col(cell_col).alias("id_a"), F.col("nbr").alias("id_b")),
-        max_iters=max_iters,
-        on_nonconverged="raise",
-    )
+    cc = connected_components(edges, max_iters=max_iters, on_nonconverged="raise")
+    # connected_components has fully materialized its labels (eager
+    # localCheckpoint per round), so release the cache now; the final
+    # join recomputes the counts groupBy once instead of holding cached
+    # blocks for the life of the session (cf. the _memo_df eviction
+    # discipline in queries.py)
+    counts.unpersist()
     out = (
         counts.join(
             cc.select(F.col("doc_id").alias(cell_col), "group_id"), cell_col, "left"

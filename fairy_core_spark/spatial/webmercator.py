@@ -134,8 +134,23 @@ def pyramid(
     lvls = sorted({int(z) for z in zooms}, reverse=True)
     if not lvls or lvls[-1] < 0 or lvls[0] > MAX_ZOOM:
         raise ValueError(f"zooms must be non-empty, all in [0, {MAX_ZOOM}], got {zooms}")
+    # fail loudly on quadkeys not at the base zoom — a shorter key would
+    # silently alias a coarser tile into every level's rollup
+    base = lvls[0]
+    guarded = df.withColumn(
+        quadkey_col,
+        F.when(F.length(F.col(quadkey_col)) == base, F.col(quadkey_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pyramid: quadkey not at base zoom {base}: '"),
+                    F.col(quadkey_col),
+                    F.lit("'"),
+                )
+            )
+        ),
+    )
     return pyramid_stack(
-        df, quadkey_col, lvls, lambda c, z: F.substring(c, 1, z)
+        guarded, quadkey_col, lvls, lambda c, z: F.substring(c, 1, z)
     )
 
 
