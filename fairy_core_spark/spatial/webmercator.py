@@ -166,6 +166,102 @@ def py_tile(lat: float, lon: float, zoom: int) -> tuple[int, int]:
     return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
 
 
+def _py_quadkey_int(x: int, y: int, zoom: int) -> int:
+    """Quadkey as the equivalent integer Morton code (digit k = 2*y_bit
+    + x_bit, MSB first) — the numeric twin of quadkey_col used for range
+    merging."""
+    q = 0
+    for bit in range(zoom - 1, -1, -1):
+        q = (q << 2) | (((y >> bit) & 1) << 1) | ((x >> bit) & 1)
+    return q
+
+
+def _int_to_quadkey(q: int, zoom: int) -> str:
+    return "".join(str((q >> (2 * (zoom - 1 - i))) & 3) for i in range(zoom))
+
+
+def cluster_by_quadkey(
+    df: DataFrame,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_partitions: int = 32,
+    qk_col: str = "quadkey",
+) -> DataFrame:
+    """Range-partition + sort by quadkey for spatial data skipping — the
+    webmercator member of the clustered-layout family (cluster_by_zorder
+    / cluster_by_s2 / cluster_by_hex7). Quadkey order IS Morton order
+    over (y, x) (fixed-length base-4 strings compare numerically), so
+    every output partition covers a compact tile range and footer
+    min/max stats on the STORED quadkey column prune bbox scans
+    (`quadkey_range_filter`). repartitionByRange samples the key
+    distribution, so hot-city skew still yields balanced partitions."""
+    x = tile_x_col(F.col(lon_col), zoom)
+    y = tile_y_col(F.col(lat_col), zoom)
+    return (
+        df.withColumn(qk_col, quadkey_col(x, y, zoom))
+        .repartitionByRange(n_partitions, qk_col)
+        .sortWithinPartitions(qk_col)
+    )
+
+
+def quadkey_range_filter(
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    zoom: int,
+    cover_zoom: int | None = None,
+    qk_col: str = "quadkey",
+    max_cover_tiles: int = 4096,
+) -> Column:
+    """Merged OR-of-BETWEENs on a stored zoom-``zoom`` quadkey column
+    covering the bbox — the quadkey twin of ``zorder.zrange_filter`` /
+    ``ops.s2_range_filter``. The bbox's tile rectangle at ``cover_zoom``
+    becomes Morton codes; contiguous runs merge into one BETWEEN each
+    (descendant ranges are quadkey-prefix ranges, exact by construction).
+    Conservative: keeps every row whose cover tile intersects the bbox;
+    callers refine on raw lat/lon. ``cover_zoom`` defaults to the finest
+    zoom whose cover stays under ``max_cover_tiles`` (predicate size is
+    what bounds codegen, same trade as zrange_filter's depth)."""
+    if lat1 < lat0 or lon1 < lon0:
+        raise ValueError("bbox must satisfy lat0 <= lat1 and lon0 <= lon1")
+    zoom = _check_zoom(zoom)
+    if cover_zoom is None:
+        cover_zoom = zoom
+        while cover_zoom > 0:
+            x_lo, y_lo = py_tile(lat1, lon0, cover_zoom)
+            x_hi, y_hi = py_tile(lat0, lon1, cover_zoom)
+            if (x_hi - x_lo + 1) * (y_hi - y_lo + 1) <= max_cover_tiles:
+                break
+            cover_zoom -= 1
+    cover_zoom = int(cover_zoom)
+    if not 0 <= cover_zoom <= zoom:
+        raise ValueError(f"cover_zoom must be in [0, zoom={zoom}], got {cover_zoom}")
+    x_lo, y_lo = py_tile(lat1, lon0, cover_zoom)  # north-west corner
+    x_hi, y_hi = py_tile(lat0, lon1, cover_zoom)  # south-east corner
+    codes = sorted(
+        _py_quadkey_int(x, y, cover_zoom)
+        for x in range(x_lo, x_hi + 1)
+        for y in range(y_lo, y_hi + 1)
+    )
+    # merge contiguous Morton runs -> one BETWEEN per run
+    runs: list[list[int]] = []
+    for c in codes:
+        if runs and c == runs[-1][1] + 1:
+            runs[-1][1] = c
+        else:
+            runs.append([c, c])
+    span = zoom - cover_zoom
+    pred = None
+    for lo, hi in runs:
+        lo_qk = _int_to_quadkey(lo << (2 * span), zoom)
+        hi_qk = _int_to_quadkey(((hi + 1) << (2 * span)) - 1, zoom)
+        p = F.col(qk_col).between(lo_qk, hi_qk)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
 def bbox_tile_filter(
     lat0: float,
     lat1: float,

@@ -165,3 +165,86 @@ def test_pyramid_rejects_bad_zooms(spark):
         pyramid(df, zooms=())
     with pytest.raises(ValueError, match="zooms"):
         pyramid(df, zooms=(3, 24))
+
+
+def test_quadkey_range_filter_matches_cover_membership(spark):
+    """Rows kept by the merged BETWEEN predicate == rows whose cover-zoom
+    tile lies in the bbox's tile rectangle (exact, both cover zooms)."""
+    from fairy_core_spark.spatial.webmercator import (
+        cluster_by_quadkey,
+        py_tile,
+        quadkey_range_filter,
+    )
+
+    pts = _rand_points(800, seed=47)
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    zoom = 9
+    tiled = cluster_by_quadkey(df, zoom, n_partitions=4)
+    bbox = (-20.0, 15.0, 10.0, 70.0)
+    lat0, lat1, lon0, lon1 = bbox
+    for cover_zoom in (4, 7):
+        kept = {
+            r["i"]
+            for r in tiled.where(
+                quadkey_range_filter(*bbox, zoom, cover_zoom=cover_zoom)
+            ).collect()
+        }
+        x_lo, y_lo = py_tile(lat1, lon0, cover_zoom)
+        x_hi, y_hi = py_tile(lat0, lon1, cover_zoom)
+        want = set()
+        for i, lat, lon in pts:
+            x, y = py_tile(lat, lon, cover_zoom)
+            if x_lo <= x <= x_hi and y_lo <= y <= y_hi:
+                want.add(i)
+        assert kept == want, cover_zoom
+        inside = {
+            i for i, lat, lon in pts
+            if lat0 <= lat <= lat1 and lon0 <= lon <= lon1
+        }
+        assert inside <= kept  # conservative
+
+
+def test_quadkey_layout_prunes_rowgroups_at_the_scan(spark, tmp_path):
+    """Same proof as the zorder/S2 layouts: the SAME bbox query reads
+    >=8x fewer parquet rows under cluster_by_quadkey than under a random
+    layout — footer min/max stats on the stored quadkey column prune."""
+    from fairy_core_spark.spatial.webmercator import (
+        cluster_by_quadkey,
+        quadkey_range_filter,
+        with_tiles,
+    )
+    from tests.test_zorder import _scan_output_rows
+
+    n = 200_000
+    zoom = 12
+    pts = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    clustered_path = str(tmp_path / "clustered")
+    random_path = str(tmp_path / "random")
+    cluster_by_quadkey(pts, zoom, n_partitions=16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(clustered_path)
+    with_tiles(pts, zoom).drop("tile_x", "tile_y").repartition(16).write.option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(random_path)
+
+    bbox = (10.0, 25.0, 40.0, 55.0)
+    lat0, lat1, lon0, lon1 = bbox
+
+    def q(path):
+        df = spark.read.parquet(path)
+        return df.where(quadkey_range_filter(*bbox, zoom)).where(
+            F.col("lat").between(lat0, lat1) & F.col("lon").between(lon0, lon1)
+        )
+
+    a = {r["point_id"] for r in q(clustered_path).collect()}
+    b = {r["point_id"] for r in q(random_path).collect()}
+    assert a == b and len(a) > 0
+
+    read_clustered = _scan_output_rows(q(clustered_path))
+    read_random = _scan_output_rows(q(random_path))
+    assert read_clustered > 0
+    assert read_random >= 8 * read_clustered, (read_clustered, read_random)
