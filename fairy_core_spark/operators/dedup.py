@@ -64,6 +64,32 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Rebuild ``df`` as a fresh LogicalRDD over the same already-computed
+    rows, dropping the plan statistics ``Dataset.localCheckpoint`` carries
+    (``originStats``). The iterative loop below needs this: each round's
+    plan joins the previous labels frame TWICE (propagation + pointer
+    jump), and Spark's size-only join estimate is the PRODUCT of the
+    child estimates (catalyst ``SizeInBytesOnlyStatsPlanVisitor.visitJoin``),
+    so a carried sizeInBytes SQUARES every round — the BigInt digit count
+    doubles per round, and past ~round 18 the stats visitor's BigInteger
+    multiplies dominate wall time (jstack-measured: 56s at round 22 on a
+    3k-node chain vs 0.5s/round flat with this rebuild; round cost was
+    independent of graph size — pure driver-side stats arithmetic). Data
+    stays JVM-side (``createDataFrame`` over the Dataset's
+    ``JavaRDD[Row]`` — reads the checkpointed blocks, no Python row
+    crossing); downstream jobs pay one extra Row<->InternalRow conversion,
+    a linear constant traded against the exponential. Falls back to the
+    frame as-is if the py4j surface ever drifts (correct, just slow past
+    ~15 rounds)."""
+    try:
+        jdf = df._jdf
+        jnew = df.sparkSession._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
+        return DataFrame(jnew, df.sparkSession)
+    except Exception:  # pragma: no cover — py4j API drift guard
+        return df
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -88,7 +114,10 @@ def connected_components(
     while LSH dup clusters (near-stars, diameter ~2-4) still finish in
     2-3. ``max_iters`` is the runaway guard. Each round
     ``localCheckpoint``s to truncate lineage, so the plan stays O(1)
-    deep. The convergence probe is folded into the round: each node's
+    deep, then rebuilds the labels frame stats-free
+    (:func:`_strip_plan_stats`) so the checkpoint-carried join-size
+    estimate can't square itself into exponential-digit BigInts round
+    over round. The convergence probe is folded into the round: each node's
     previous label rides along in the same min-groupBy (tagged rows), so
     detecting "nothing changed" is a near-free scan of the
     just-materialized checkpoint — no extra probe join per round.
@@ -114,7 +143,7 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .persist()
     )
-    labels = (
+    labels = _strip_plan_stats(
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("lab", F.col("node"))
         .localCheckpoint()
@@ -150,7 +179,10 @@ def connected_components(
         )
         # near-free probe: scans the checkpoint just written, no join
         changed = new.where(F.col("lab") != F.col("prev_lab")).limit(1).count()
-        labels = new.select("node", "lab")
+        # stats reset between rounds — see _strip_plan_stats: without it
+        # the carried join-size estimate squares per round and the stats
+        # visitor's BigInteger math goes exponential around round 18
+        labels = _strip_plan_stats(new.select("node", "lab"))
         if changed == 0:
             converged = True
             break

@@ -304,6 +304,31 @@ def test_connected_components_empty(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_connected_components_long_chain_stats_stay_bounded(spark):
+    """Regression for the round-18+ blowup: localCheckpoint carries the
+    producing plan's sizeInBytes estimate (originStats), and because each
+    round joins the labels frame twice, the size-only join estimate
+    (product of children) SQUARES per round — BigInt digits double, and
+    the stats visitor's BigInteger math dominated late rounds (56s/round
+    measured at round 22, graph-size-independent). _strip_plan_stats
+    resets the estimate each round; this pins (a) correctness on a chain
+    long enough to need ~18 rounds and (b) the mechanism itself: the
+    returned frame's plan-stats estimate stays a normal-sized number
+    instead of a 2^(2^rounds)-scale product."""
+    n = 400
+    pairs = spark.createDataFrame(
+        [(f"{i:04d}", f"{i + 1:04d}") for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = dedup.connected_components(pairs, max_iters=40)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["group_id"] for r in rows} == {"0000"}
+    bits = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 100, f"plan-stats estimate blew up: {bits} bits"
+
+
 def test_duplicated_spans_planted_boilerplate(spark):
     """Docs sharing an 8-token boilerplate prefix are flagged; a unique
     doc is not; a short doc gets zeros. Within-doc repetition counts."""
