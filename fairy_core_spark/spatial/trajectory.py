@@ -208,3 +208,63 @@ def dwell_episodes(
             ).alias("dwell_us"),
         )
     )
+
+
+def colocation_pairs(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    loc_col: str = "quadkey",
+    bucket_col: str = "bucket",
+    min_shared: int = 1,
+    max_entities_per_key: int | None = 1000,
+) -> DataFrame:
+    """Spatiotemporal co-occurrence: pairs of DISTINCT entities observed
+    in the same (location, time-bucket) key, with the number of shared
+    keys per pair — the contact-tracing / co-visitation staple over any
+    location key (quadkey, hex cell, region id) and any pre-computed
+    time bucket (hour, day).
+
+    Output: (entity_a, entity_b, n_shared) with ``entity_a < entity_b``
+    (one canonical row per unordered pair) and ``n_shared >=
+    min_shared``.
+
+    Plan + skew story (what decides 100 TB viability): presence dedup
+    FIRST — one distinct to (loc, bucket, entity), so raw ping volume
+    never reaches the join — then a self-equi-join on (loc, bucket). A
+    key with k present entities emits k(k-1)/2 pairs: quadratic by the
+    NATURE of the question, so the guard is explicit rather than
+    hoped-for — keys whose entity count exceeds
+    ``max_entities_per_key`` are dropped entirely (standard co-location
+    practice: a stadium cell says nothing about contact, and one
+    100k-entity cell would emit 5e9 pairs). The count rides a window
+    over the presence frame's own (loc, bucket) grouping; pass ``None``
+    to disable. Downstream the pair groupBy carries only (id, id)
+    tuples. AQE splits whatever sub-cap skew remains in the self-join.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_entities_per_key is not None and max_entities_per_key < 2:
+        raise ValueError(
+            f"max_entities_per_key must be >= 2 (or None), got {max_entities_per_key}"
+        )
+    pres = df.select(
+        F.col(loc_col).alias("__loc"),
+        F.col(bucket_col).alias("__bkt"),
+        F.col(entity_col).alias("__ent"),
+    ).distinct()
+    if max_entities_per_key is not None:
+        k = F.count(F.lit(1)).over(Window.partitionBy("__loc", "__bkt"))
+        pres = pres.withColumn("__k", k).where(
+            F.col("__k") <= max_entities_per_key
+        ).drop("__k")
+    a = pres.select("__loc", "__bkt", F.col("__ent").alias("entity_a"))
+    b = pres.select("__loc", "__bkt", F.col("__ent").alias("entity_b"))
+    pairs = a.join(b, ["__loc", "__bkt"]).where(
+        F.col("entity_a") < F.col("entity_b")
+    )
+    out = pairs.groupBy("entity_a", "entity_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    if min_shared > 1:
+        out = out.where(F.col("n_shared") >= min_shared)
+    return out

@@ -56,6 +56,7 @@ def main() -> int:
 
     from fairy_core_spark.spatial.ops import cluster_cells, with_cell
     from fairy_core_spark.spatial.trajectory import (
+        colocation_pairs,
         dwell_episodes,
         od_matrix,
         path_stats,
@@ -108,6 +109,24 @@ def main() -> int:
                 entity_col="entity_id",
                 bucket_col="day",
                 tiebreak_col="eid",
+            )
+        ),
+        n,
+        out,
+    )
+    coloc_in = with_tiles(ev, zoom=9, quadkey=True).withColumn(
+        "day", F.to_date("ts")
+    ).select("entity_id", "day", "quadkey")
+    timed(
+        "colocation_pairs_z9_daily_cap100",
+        lambda: force(
+            colocation_pairs(
+                coloc_in,
+                entity_col="entity_id",
+                loc_col="quadkey",
+                bucket_col="day",
+                min_shared=2,
+                max_entities_per_key=100,
             )
         ),
         n,

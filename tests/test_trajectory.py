@@ -186,3 +186,53 @@ def test_od_matrix_two_shuffles(spark):
         .toString()
     )
     assert plan.count("Exchange") == 2, plan
+
+
+def test_colocation_pairs_planted(spark):
+    """Hand-built presence: users 1,2 share two (cell, day) keys; users
+    1,3 share one (below min_shared=2); cell 'hot' on day 10 holds 4
+    users and is dropped by the cap (3) — none of its pairs appear.
+    Duplicate pings within a key count once (presence dedup)."""
+    from fairy_core_spark.spatial.trajectory import colocation_pairs
+
+    rows = [
+        # (user, cell, day)
+        (1, "a", 1), (2, "a", 1),
+        (1, "b", 2), (2, "b", 2), (2, "b", 2),  # dup ping — counts once
+        (1, "c", 3), (3, "c", 3),
+        (4, "hot", 10), (5, "hot", 10), (6, "hot", 10), (7, "hot", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, cell string, day long")
+    got = {
+        (r["entity_a"], r["entity_b"]): r["n_shared"]
+        for r in colocation_pairs(
+            df, entity_col="user_id", loc_col="cell", bucket_col="day",
+            min_shared=2, max_entities_per_key=3,
+        ).collect()
+    }
+    assert got == {(1, 2): 2}
+    # cap disabled + min_shared=1: hot-cell pairs appear, 1-3 appears
+    got_all = {
+        (r["entity_a"], r["entity_b"]): r["n_shared"]
+        for r in colocation_pairs(
+            df, entity_col="user_id", loc_col="cell", bucket_col="day",
+            min_shared=1, max_entities_per_key=None,
+        ).collect()
+    }
+    assert got_all[(1, 3)] == 1 and got_all[(4, 7)] == 1
+    assert len([p for p in got_all if p[0] in (4, 5, 6)]) == 6  # C(4,2)
+
+
+def test_colocation_pairs_validation(spark):
+    from fairy_core_spark.spatial.trajectory import colocation_pairs
+
+    df = spark.createDataFrame([], "user_id long, cell string, day long")
+    with pytest.raises(ValueError):
+        colocation_pairs(df, loc_col="cell", bucket_col="day", min_shared=0)
+    with pytest.raises(ValueError):
+        colocation_pairs(
+            df, loc_col="cell", bucket_col="day", max_entities_per_key=1
+        )
+    assert (
+        colocation_pairs(df, loc_col="cell", bucket_col="day").count() == 0
+    )
