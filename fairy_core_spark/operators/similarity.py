@@ -174,3 +174,36 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cell_vector_sums(
+    df: DataFrame,
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cell embedding centroid SUMS — the tile-level vector summary a
+    retrieval/clustering layer wants over a spatially indexed corpus
+    (coarse per-tile semantic signatures, per-region drift monitoring).
+    One row per (cell, pos): ``sum_q`` = sum of floor(value * scale) as
+    int64 and ``n`` = vectors in the cell; centroid = sum_q / (scale*n),
+    computed by the CONSUMER so this operator stays exact-integer —
+    associative, aggregation-order-proof, replayed bit-for-bit by any
+    SQL engine (the same fixed-point discipline as trajectory's
+    int-meter hops). ``dims`` slices to the first N dimensions
+    (None = full vector).
+
+    Scale shape: posexplode then ONE map-side-combined groupBy on
+    (cell, pos) — the wire carries per-partition partial sums, dims x
+    cells rows total, never the vectors themselves. floor(float32 ->
+    double * scale) is exact IEEE both engines; values must stay within
+    +-2^52/scale for the int64 sum (any normalized embedding is)."""
+    if dims is not None and dims < 1:
+        raise ValueError(f"dims must be >= 1 or None, got {dims}")
+    vec = F.col(vec_col) if dims is None else F.slice(F.col(vec_col), 1, dims)
+    e = df.select(F.col(cell_col), F.posexplode(vec).alias("pos", "val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long")
+    return e.groupBy(cell_col, "pos").agg(
+        F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n")
+    )

@@ -508,3 +508,28 @@ def test_zero_norm_embeddings_never_crash_or_pair(spark):
 
     top = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") == 100), k=3).collect()
     assert len(top) == 3 and all(r["cosine"] == 0.0 for r in top)
+
+
+def test_cell_vector_sums_exact(spark):
+    """Hand-computed fixed-point sums incl. a negative component (floor
+    goes toward -inf) and the dims slice."""
+    from fairy_core_spark.operators.similarity import cell_vector_sums
+
+    rows = [("a", [0.5, -0.25]), ("a", [0.5, 0.75]), ("b", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "cell string, embedding array<float>")
+    got = {
+        (r["cell"], r["pos"]): (r["sum_q"], r["n"])
+        for r in cell_vector_sums(df).collect()
+    }
+    assert got == {
+        ("a", 0): (1_000_000, 2),
+        ("a", 1): (500_000, 2),  # floor(-0.25e6) + floor(0.75e6)
+        ("b", 0): (1_000_000, 1),
+        ("b", 1): (0, 1),
+    }
+    sliced = cell_vector_sums(df, dims=1).collect()
+    assert {r["pos"] for r in sliced} == {0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cell_vector_sums(df, dims=0)
