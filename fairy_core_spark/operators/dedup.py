@@ -134,7 +134,16 @@ def connected_components(
     so a 10^9-member component costs the same per round as 10^9
     singletons. Isolated docs (no dup pair) are absent from the output
     by design — left-join and coalesce(group_id, doc_id) to annotate a
-    corpus."""
+    corpus.
+
+    Plan-time stats caveat: the returned frame's sizeInBytes is the
+    unknown-default (the stats reset that keeps the loop linear also
+    forgets the true size; the unstripped alternative is no better — the
+    final round's checkpoint carries a joins-product estimate in the
+    2^126 range). Catalyst therefore won't auto-broadcast this frame
+    into a downstream join at plan time: rely on AQE's runtime
+    broadcast conversion (on by default here), or wrap the result in
+    ``F.broadcast(...)`` when you know the label set is small."""
     if on_nonconverged not in ("warn", "raise"):
         raise ValueError(f"on_nonconverged must be 'warn' or 'raise', got {on_nonconverged!r}")
     a, b = F.col(id_a).alias("a"), F.col(id_b).alias("b")

@@ -187,7 +187,8 @@ def cell_vector_sums(
     retrieval/clustering layer wants over a spatially indexed corpus
     (coarse per-tile semantic signatures, per-region drift monitoring).
     One row per (cell, pos): ``sum_q`` = sum of floor(value * scale) as
-    int64 and ``n`` = vectors in the cell; centroid = sum_q / (scale*n),
+    int64 and ``n`` = components summed (= vectors in the cell when no
+    component is NaN/NULL — see inline note); centroid = sum_q / (scale*n),
     computed by the CONSUMER so this operator stays exact-integer —
     associative, aggregation-order-proof, replayed bit-for-bit by any
     SQL engine (the same fixed-point discipline as trajectory's
@@ -203,7 +204,14 @@ def cell_vector_sums(
         raise ValueError(f"dims must be >= 1 or None, got {dims}")
     vec = F.col(vec_col) if dims is None else F.slice(F.col(vec_col), 1, dims)
     e = df.select(F.col(cell_col), F.posexplode(vec).alias("pos", "val"))
-    q = F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long")
+    v = F.col("val").cast("double")
+    # non-finite components quantize to NULL EXPLICITLY (cast of NaN/inf
+    # to long is config-dependent — measured NaN -> 0 here, which would
+    # silently pull the centroid toward zero), and n pairs with the sum:
+    # count(q), NOT count(*), so a skipped component is excluded from
+    # BOTH sum_q and n. For finite corpora n = vectors in the cell.
+    finite = (~F.isnan(v)) & (v > float("-inf")) & (v < float("inf"))
+    q = F.when(finite, F.floor(v * F.lit(float(scale))).cast("long"))
     return e.groupBy(cell_col, "pos").agg(
-        F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n")
+        F.sum(q).alias("sum_q"), F.count(q).alias("n")
     )

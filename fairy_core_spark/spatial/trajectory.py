@@ -247,7 +247,11 @@ def colocation_pairs(
         raise ValueError(
             f"max_entities_per_key must be >= 2 (or None), got {max_entities_per_key}"
         )
-    pres = df.select(
+    # drop NULL-entity pings BEFORE the presence distinct: they can never
+    # form a pair (the a < b predicate is never true for NULL) but would
+    # count toward the hot-key cap — one anonymous ping could otherwise
+    # evict a legitimate at-cap key and silently erase its real pairs
+    pres = df.where(F.col(entity_col).isNotNull()).select(
         F.col(loc_col).alias("__loc"),
         F.col(bucket_col).alias("__bkt"),
         F.col(entity_col).alias("__ent"),

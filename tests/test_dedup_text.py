@@ -515,7 +515,8 @@ def test_cell_vector_sums_exact(spark):
     goes toward -inf) and the dims slice."""
     from fairy_core_spark.operators.similarity import cell_vector_sums
 
-    rows = [("a", [0.5, -0.25]), ("a", [0.5, 0.75]), ("b", [1.0, 0.0])]
+    rows = [("a", [0.5, -0.25]), ("a", [0.5, 0.75]), ("b", [1.0, 0.0]),
+            ("b", [float("nan"), 0.5])]
     df = spark.createDataFrame(rows, "cell string, embedding array<float>")
     got = {
         (r["cell"], r["pos"]): (r["sum_q"], r["n"])
@@ -524,8 +525,8 @@ def test_cell_vector_sums_exact(spark):
     assert got == {
         ("a", 0): (1_000_000, 2),
         ("a", 1): (500_000, 2),  # floor(-0.25e6) + floor(0.75e6)
-        ("b", 0): (1_000_000, 1),
-        ("b", 1): (0, 1),
+        ("b", 0): (1_000_000, 1),  # NaN component excluded from sum AND n
+        ("b", 1): (500_000, 2),
     }
     sliced = cell_vector_sums(df, dims=1).collect()
     assert {r["pos"] for r in sliced} == {0}

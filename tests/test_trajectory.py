@@ -201,6 +201,9 @@ def test_colocation_pairs_planted(spark):
         (1, "b", 2), (2, "b", 2), (2, "b", 2),  # dup ping — counts once
         (1, "c", 3), (3, "c", 3),
         (4, "hot", 10), (5, "hot", 10), (6, "hot", 10), (7, "hot", 10),
+        # NULL-entity ping on an at-cap key: must NOT count toward the
+        # cap (it can never pair) — cell 'b' day 2 stays kept
+        (None, "b", 2),
     ]
     df = spark.createDataFrame(rows, "user_id long, cell string, day long")
     got = {
