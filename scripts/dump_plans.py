@@ -52,6 +52,11 @@ SHOWCASE = [
     ("traj_user_path_stats", "trajectory stats: the closing groupBy reuses the window's entity-hash partitioning — exactly ONE Exchange; integer-meter hops make the path sum aggregation-order-proof"),
     ("traj_dwell_episodes", "dwell episodes: boundary-flag window, running-sum episode ids, episode groupBy, and enter-order seq all ride ONE entity shuffle; float-free end-to-end"),
     ("retention_weekly_cohorts", "cohort retention: first-event window min rides the SAME user_id shuffle the distinct count repartitions to — two shuffles total, no self-join"),
+    ("spatial_pip_anti", "geofence exclusion: ONE Arrow annotation projection + empty-containment filter — no join, no row multiplication; the complement of the PIP join at the same zero-shuffle cost"),
+    ("traj_colocation_pairs", "co-location: distinct presence -> windowed hot-key cap -> self-equi-join on (tile, day) -> pair groupBy carrying only (id, id); the quadratic emission is bounded by the explicit cap, not hoped away"),
+    ("spatial_quota_per_cell", "per-tile quota: ONE Arrow hex7 encode pass (the shared spatial-encode shape) feeding ONE window shuffle on the cell, WindowGroupLimit partial top-1 before the exchange"),
+    ("spatial_block_split", "spatially-blocked split: ONE Arrow hex7 encode pass + md5-bucket CASE, all projection — ZERO Exchange; the whole train/test assignment runs scan-side"),
+    ("spatial_cell_embedding_sums", "per-tile embedding sums: posexplode -> ONE map-side-combined groupBy on (cell, pos); fixed-point int64 partials on the wire, never vectors"),
 ]
 
 
