@@ -360,6 +360,54 @@ def grid_disk(cell: np.ndarray, k: int) -> np.ndarray:
     return ij_to_cell(ff, ii, jj, r0)
 
 
+def grid_distance(cell_a: np.ndarray, cell_b: np.ndarray) -> np.ndarray:
+    """Hex graph distance between same-resolution cells (H3's
+    gridDistance): decode both to axial coords, max-of-cube-coords on
+    the offset — the metric grid_disk's ring structure is defined by.
+
+    Same-face lattice only (module doc, delta 2): a cross-face pair has
+    no honest distance on this face's gnomonic lattice, so it raises
+    instead of silently returning a wrong number (fail-loud convention,
+    cf. ij_to_cell's 6-bit range check)."""
+    a = np.asarray(cell_a, dtype=np.int64)
+    b = np.asarray(cell_b, dtype=np.int64)
+    fa, ia, ja, ra = cell_to_ij(a)
+    fb, ib, jb, rb = cell_to_ij(b)
+    if a.size and not np.array_equal(ra, rb):
+        raise ValueError("grid_distance requires both cells at one resolution")
+    if a.size and not np.array_equal(fa, fb):
+        raise ValueError(
+            "grid_distance is same-face lattice only; got a cross-face pair"
+        )
+    di, dj = ib - ia, jb - ja
+    return np.maximum(np.maximum(np.abs(di), np.abs(dj)), np.abs(di + dj))
+
+
+def grid_path_cells(cell_a: int, cell_b: int) -> np.ndarray:
+    """Cells on the hex line from a to b inclusive (H3's gridPathCells):
+    cube-space linear interpolation sampled at unit hex spacing, each
+    sample snapped with the published cube rounding. A deterministic
+    epsilon nudge (+1e-7 on i, +2e-7 on j, applied to every sample)
+    breaks exact half-way ties so the path can't flip with float noise.
+
+    Returns grid_distance+1 cells, endpoints included; consecutive
+    cells are grid neighbors and all cells are distinct
+    (property-tested). Same-face lattice only, like grid_distance."""
+    a = np.asarray([cell_a], dtype=np.int64)
+    b = np.asarray([cell_b], dtype=np.int64)
+    d = int(grid_distance(a, b)[0])
+    fa, ia, ja, ra = cell_to_ij(a)
+    if d == 0:
+        return a.copy()
+    _, ib, jb, _ = cell_to_ij(b)
+    t = np.linspace(0.0, 1.0, d + 1)
+    fi = float(ia[0]) * (1.0 - t) + float(ib[0]) * t + 1e-7
+    fj = float(ja[0]) * (1.0 - t) + float(jb[0]) * t + 2e-7
+    ii, jj = _hexround(fi, fj)
+    # endpoints are exact integers +- the nudge: snap is guaranteed
+    return ij_to_cell(np.full(d + 1, fa[0]), ii, jj, int(ra[0]))
+
+
 def neighbors_geo(cell: np.ndarray) -> np.ndarray:
     """(n, 6) GEOMETRIC neighbors: the 6 lattice-neighbor center
     positions re-encoded through :func:`cell_id`. For interior cells this

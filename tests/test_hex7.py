@@ -580,3 +580,79 @@ def test_compact_tolerates_parent_alongside_children(spark):
     df = spark.createDataFrame([(int(c),) for c in mixed], "cell long")
     rows = np.sort(compact_cells_df(df, "cell").toPandas()["cell"].to_numpy())
     assert np.array_equal(rows, np.array([g], dtype=np.int64))
+
+
+def test_grid_distance_matches_disk_rings():
+    # distance k <=> first appears in grid_disk(a, k): checked for a
+    # batch of random interior cells against their k<=4 disks
+    lat, lon = _sample(40, seed=11)
+    cells = hex7.cell_id(lat, lon, 6)
+    for a in cells[:10]:
+        disk = hex7.grid_disk(np.array([a]), 4)[0]
+        d = hex7.grid_distance(np.full(disk.shape, a), disk)
+        # ring sizes 1, 6, 12, 18, 24 in disk order (sorted by distance)
+        sizes = [np.sum(d == k) for k in range(5)]
+        assert sizes == [1, 6, 12, 18, 24]
+        # disk ordering is (hex distance, offset): distances nondecreasing
+        assert (np.diff(d) >= 0).all()
+
+
+def test_grid_distance_symmetry_and_triangle():
+    lat, lon = _sample(300, seed=12)
+    cells = hex7.cell_id(lat, lon, 5)
+    # keep one face so pairs are same-face lattice points
+    face = (cells >> np.int64(54)) & np.int64(31)
+    fc = cells[face == np.bincount(face.astype(int)).argmax()]
+    a, b, c = fc[:-2], fc[1:-1], fc[2:]
+    dab = hex7.grid_distance(a, b)
+    assert np.array_equal(dab, hex7.grid_distance(b, a))
+    assert (hex7.grid_distance(a, c) <= dab + hex7.grid_distance(b, c)).all()
+    assert (hex7.grid_distance(a, a) == 0).all()
+
+
+def test_grid_distance_rejects_cross_face_and_mixed_res():
+    lat = np.array([10.0, -70.0])
+    lon = np.array([20.0, 150.0])
+    cells = hex7.cell_id(lat, lon, 5)
+    face = (cells >> np.int64(54)) & np.int64(31)
+    assert face[0] != face[1]
+    with pytest.raises(ValueError, match="same-face"):
+        hex7.grid_distance(cells[:1], cells[1:])
+    mixed = hex7.cell_id(lat[:1], lon[:1], 6)
+    with pytest.raises(ValueError, match="one resolution"):
+        hex7.grid_distance(cells[:1], mixed)
+
+
+def test_grid_path_cells_line_properties():
+    # endpoints exact, length = distance+1, consecutive cells adjacent,
+    # all distinct — the hex line-drawing contract, for many random
+    # same-face pairs at several resolutions
+    rng = np.random.default_rng(13)
+    for res in (4, 6):
+        lat, lon = _sample(200, seed=res)
+        cells = hex7.cell_id(lat, lon, res)
+        face = (cells >> np.int64(54)) & np.int64(31)
+        fc = cells[face == np.bincount(face.astype(int)).argmax()]
+        pairs = rng.choice(fc, size=(25, 2))
+        for a, b in pairs:
+            path = hex7.grid_path_cells(int(a), int(b))
+            d = int(hex7.grid_distance(np.array([a]), np.array([b]))[0])
+            assert path[0] == a and path[-1] == b
+            assert path.shape == (d + 1,)
+            assert len(set(path.tolist())) == d + 1
+            if d:
+                steps = hex7.grid_distance(path[:-1], path[1:])
+                assert (steps == 1).all()
+
+
+def test_grid_path_cells_trivial_and_deterministic():
+    lat, lon = _sample(2, seed=14)
+    a = int(hex7.cell_id(lat[:1], lon[:1], 6)[0])
+    assert hex7.grid_path_cells(a, a).tolist() == [a]
+    b_arr = hex7.grid_disk(np.array([a]), 3)[0]
+    b = int(b_arr[-1])
+    assert hex7.grid_path_cells(a, b).tolist() == hex7.grid_path_cells(a, b).tolist()
+    # reversal gives a (possibly different) valid line between the same
+    # endpoints with the same length
+    fwd, rev = hex7.grid_path_cells(a, b), hex7.grid_path_cells(b, a)
+    assert fwd.shape == rev.shape and rev[0] == b and rev[-1] == a
