@@ -57,6 +57,7 @@ SHOWCASE = [
     ("spatial_quota_per_cell", "per-tile quota: ONE Arrow hex7 encode pass (the shared spatial-encode shape) feeding ONE window shuffle on the cell, WindowGroupLimit partial top-1 before the exchange"),
     ("spatial_block_split", "spatially-blocked split: ONE Arrow hex7 encode pass + md5-bucket CASE, all projection — ZERO Exchange; the whole train/test assignment runs scan-side"),
     ("spatial_cell_embedding_sums", "per-tile embedding sums: posexplode -> ONE map-side-combined groupBy on (cell, pos); fixed-point int64 partials on the wire, never vectors"),
+    ("h3_layout_parent_rollup", "published-H3 id ops: validity (incl. pentagon deleted-K) + parent are pure codegen bit expressions feeding one map-side-combined rollup — zero Python, one 8-byte-key shuffle; WholeStageCodegen must span the whole stage (the base-7 synth variant silently fell to interpreted mode past Janino's 64 KB method cap)"),
 ]
 
 
