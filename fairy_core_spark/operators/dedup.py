@@ -844,3 +844,53 @@ def phash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def phash_geo_spread(
+    df: DataFrame,
+    phash_col: str = "phash",
+    tile_col: str = "tile_key",
+    min_group: int = 2,
+) -> DataFrame:
+    """Geographic spread of exact-phash duplicate groups — the classic
+    geo-spam / misattribution signal for an image corpus: the SAME image
+    honestly re-uploaded stays in one neighbourhood, while stock photos,
+    watermark spam and coordinate-corrupted rows recur across distant
+    tiles (north-rule image x geospatial composition; the reference has
+    no image or spatial code — its dup rule is rulepack_runner.py's
+    whole-row duplicate check, reused here as group-then-measure).
+
+    Input: one row per image carrying a 64-bit perceptual hash
+    (``phash_col``, the north input-hint column) and a single combined
+    tile key (``tile_col`` — e.g. a quadkey string or
+    ``tile_x * 2^zoom + tile_y`` long from webmercator.with_tiles). Per
+    phash group with >= ``min_group`` members, emits
+
+    - ``n_images``  group size,
+    - ``n_tiles``   COUNT(DISTINCT tile) — how many places it appears,
+    - ``is_spread`` 1 iff n_tiles >= 2 (integer-exact contract).
+
+    Plan (the 100 TB story): ONE groupBy on the 8-byte phash with a
+    distinct-count over the tile key — Spark plans count(DISTINCT) as a
+    two-stage expand + partial agg, map-side combined on both stages, so
+    the shuffle carries (phash, tile_key) pairs bounded by
+    rows-per-distinct-tile, never bytes or captions. HAVING prunes
+    singleton groups (the overwhelming majority) before anything else
+    sees them. No join, no self-pairing, nothing quadratic in group
+    size."""
+    if min_group < 1:
+        raise ValueError(f"min_group must be >= 1, got {min_group}")
+    return (
+        df.groupBy(F.col(phash_col).alias("phash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct(F.col(tile_col)).alias("n_tiles"),
+        )
+        .where(F.col("n_images") >= min_group)
+        .select(
+            "phash",
+            "n_images",
+            "n_tiles",
+            (F.col("n_tiles") >= 2).cast("long").alias("is_spread"),
+        )
+    )

@@ -934,3 +934,76 @@ def cluster_cells(
         )
     )
     return out
+
+
+def smoothed_tile_density(
+    tiled: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    zoom: int | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Binomial-kernel (3x3: [[1,2,1],[2,4,2],[1,2,1]] / 16) density
+    convolution over a square tile grid — the heatmap raster every map
+    renderer draws from point data (north-rule raster op — the reference
+    has no spatial code; kernel is the classic separable binomial
+    approximation of a Gaussian blur).
+
+    Input: one row per point (or pre-weighted row) carrying integer
+    Web-Mercator tile coords ``x_col``/``y_col`` (one zoom level, e.g.
+    from webmercator.with_tiles). Output: one row per tile of the 3x3
+    DILATION of the occupied set (the halo a heatmap needs), with
+
+    - ``n_points``     raw count (or integral weight sum) at the tile
+                       itself — 0 for halo tiles;
+    - ``density_x16``  sum over the 3x3 neighborhood of count * kernel
+                       weight, scaled by 16 so the contract stays
+                       INTEGER-exact across engines (divide by 16.0 for
+                       the float surface).
+
+    Edge convention: when ``zoom`` is given, scatter targets outside
+    ``[0, 2**zoom - 1]^2`` are dropped (no antimeridian x-wrap — same
+    contract as bbox_tile_filter / zorder.zranges_for_bbox); edge tiles
+    simply receive fewer contributions, the standard "zero-padding"
+    convolution boundary.
+
+    Plan (the 100 TB story): one map-side-combined groupBy collapses the
+    raw points to the occupied-tile frame (bounded by 4**zoom, tiny for
+    serving zooms); the convolution is a 9-way conditional explode of
+    that SMALL frame plus one more groupBy — shuffle carries
+    (x, y, weighted count) int64 triples only, never points. No join, no
+    driver collect, nothing quadratic.
+    """
+    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = tiled.groupBy(x_col, y_col).agg(x.cast("long").alias("n"))
+
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit((2 - abs(dx)) * (2 - abs(dy))).alias("w"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    scattered = counts.select(
+        F.explode(offsets).alias("o"), F.col(x_col), F.col(y_col), F.col("n")
+    ).select(
+        (F.col(x_col) + F.col("o.dx")).alias(x_col),
+        (F.col(y_col) + F.col("o.dy")).alias(y_col),
+        (F.col("n") * F.col("o.w")).alias("wn"),
+        F.when((F.col("o.dx") == 0) & (F.col("o.dy") == 0), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("self_n"),
+    )
+    if zoom is not None:
+        hi = (1 << int(zoom)) - 1
+        scattered = scattered.where(
+            F.col(x_col).between(0, hi) & F.col(y_col).between(0, hi)
+        )
+    return scattered.groupBy(x_col, y_col).agg(
+        F.sum("self_n").alias("n_points"),
+        F.sum("wn").alias("density_x16"),
+    )

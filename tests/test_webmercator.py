@@ -248,3 +248,102 @@ def test_quadkey_layout_prunes_rowgroups_at_the_scan(spark, tmp_path):
     read_random = _scan_output_rows(q(random_path))
     assert read_clustered > 0
     assert read_random >= 8 * read_clustered, (read_clustered, read_random)
+
+
+# ---------------------------------------------------------------- smoothing
+
+
+def test_smoothed_tile_density_single_interior_point(spark):
+    """One point away from grid edges -> the full 3x3 binomial stencil."""
+    from fairy_core_spark.spatial.ops import smoothed_tile_density
+
+    df = spark.createDataFrame([(10, 20)], "tile_x long, tile_y long")
+    rows = {
+        (r["tile_x"], r["tile_y"]): (r["n_points"], r["density_x16"])
+        for r in smoothed_tile_density(df, zoom=6).collect()
+    }
+    assert len(rows) == 9
+    assert rows[(10, 20)] == (1, 4)
+    for dx in (-1, 1):
+        assert rows[(10 + dx, 20)] == (0, 2)
+        assert rows[(10, 20 + dx)] == (0, 2)
+        for dy in (-1, 1):
+            assert rows[(10 + dx, 20 + dy)] == (0, 1)
+
+
+def test_smoothed_tile_density_edge_clipping(spark):
+    """A corner tile's halo is clipped to the grid (zero-padding)."""
+    from fairy_core_spark.spatial.ops import smoothed_tile_density
+
+    df = spark.createDataFrame([(0, 0)], "tile_x long, tile_y long")
+    rows = {
+        (r["tile_x"], r["tile_y"]): r["density_x16"]
+        for r in smoothed_tile_density(df, zoom=3).collect()
+    }
+    assert rows == {(0, 0): 4, (1, 0): 2, (0, 1): 2, (1, 1): 1}
+
+
+def test_smoothed_tile_density_mass_conserved_interior(spark):
+    """Away from edges the kernel sums to 16: total density_x16 == 16 * n,
+    and per-tile n_points reproduces the raw histogram; weight_col path
+    agrees with pre-expanded rows."""
+    import numpy as np
+
+    from fairy_core_spark.spatial.ops import smoothed_tile_density
+
+    rng = np.random.default_rng(7)
+    pts = [
+        (int(rng.integers(5, 58)), int(rng.integers(5, 58))) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "tile_x long, tile_y long")
+    out = smoothed_tile_density(df, zoom=6)
+    total = out.agg(
+        F.sum("density_x16").alias("d"), F.sum("n_points").alias("n")
+    ).first()
+    assert total["d"] == 16 * 300 and total["n"] == 300
+
+    raw = {(r["tile_x"], r["tile_y"]): r["cnt"] for r in
+           df.groupBy("tile_x", "tile_y").agg(F.count("*").alias("cnt")).collect()}
+    for r in out.collect():
+        assert r["n_points"] == raw.get((r["tile_x"], r["tile_y"]), 0)
+
+    wdf = df.groupBy("tile_x", "tile_y").agg(F.count("*").alias("w"))
+    wout = {
+        (r["tile_x"], r["tile_y"]): (r["n_points"], r["density_x16"])
+        for r in smoothed_tile_density(wdf, zoom=6, weight_col="w").collect()
+    }
+    base = {
+        (r["tile_x"], r["tile_y"]): (r["n_points"], r["density_x16"])
+        for r in out.collect()
+    }
+    assert wout == base
+
+
+def test_phash_geo_spread_groups(spark):
+    """Known groups: spread vs single-tile vs singleton-pruned."""
+    import pytest as _pytest
+
+    from fairy_core_spark.operators.dedup import phash_geo_spread
+
+    rows = [
+        (1, 100, 7),   # group 1: tiles {7, 9} -> spread
+        (2, 100, 9),
+        (3, 200, 5),   # group 2: tile {5} twice -> not spread
+        (4, 200, 5),
+        (5, 300, 1),   # singleton -> pruned by min_group=2
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, tile_key long")
+    out = {
+        r["phash"]: (r["n_images"], r["n_tiles"], r["is_spread"])
+        for r in phash_geo_spread(df).collect()
+    }
+    assert out == {100: (2, 2, 1), 200: (2, 1, 0)}
+
+    all_rows = {
+        r["phash"]: r["n_images"]
+        for r in phash_geo_spread(df, min_group=1).collect()
+    }
+    assert all_rows == {100: 2, 200: 2, 300: 1}
+
+    with _pytest.raises(ValueError):
+        phash_geo_spread(df, min_group=0)
