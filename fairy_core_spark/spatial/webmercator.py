@@ -37,6 +37,7 @@ emits a closed x/y rectangle predicate, sargable by parquet).
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -281,3 +282,67 @@ def bbox_tile_filter(
     x_lo, y_lo = py_tile(lat1, lon0, zoom)  # north-west corner
     x_hi, y_hi = py_tile(lat0, lon1, zoom)  # south-east corner
     return F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)
+
+
+def zonal_tile_stats(
+    tiled: DataFrame,
+    zones: Sequence[tuple[str, float, float, float, float]],
+    zoom: int,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Zonal statistics in TILE space — the raster half of raster<->vector
+    zonal stats (north-rule op; the reference has no spatial code): per
+    zone, how many tiles of the conservative bbox cover are occupied and
+    how much mass (point count / integral weight) they hold.
+
+    ``zones`` is a broadcast-scale driver-side list of
+    ``(zone_id, lat0, lat1, lon0, lon1)`` bboxes (split arbitrary
+    polygons into their bbox cover first; refine on raw lat/lon where
+    exactness beyond the cover matters — same conservative contract as
+    bbox_tile_filter). Each bbox becomes a CLOSED tile rectangle via the
+    same py_tile corner math bbox_tile_filter uses, so the whole
+    assignment is integer BETWEENs — no floating geometry at run time,
+    and zones may overlap (a tile contributes to every zone covering it).
+
+    Emits per zone_id: ``n_tiles`` (occupied tiles in the rectangle),
+    ``n_points`` (their total count / weight sum). Zones covering no
+    occupied tile emit (0, 0) — the left join keeps every zone, so a
+    monitoring dashboard never drops a silent region.
+
+    Plan (the 100 TB story): points collapse to the occupied-tile frame
+    first (ONE map-side-combined groupBy, bounded by 4**zoom); the
+    zone assignment is a broadcast range join against the tiny zone
+    rectangle table (BroadcastNestedLoopJoin over <=thousands of zones —
+    each occupied tile tests |zones| int64 comparisons in codegen);
+    the final per-zone rollup is a second combined groupBy over
+    (zone_id, partials). Points never shuffle; only (x, y, n) triples do.
+    """
+    if not zones:
+        raise ValueError("zones must be non-empty")
+    zoom = _check_zoom(zoom)
+    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = tiled.groupBy(x_col, y_col).agg(x.cast("long").alias("n"))
+
+    rows = []
+    for zone_id, lat0, lat1, lon0, lon1 in zones:
+        if lat1 < lat0 or lon1 < lon0:
+            raise ValueError(f"zone {zone_id!r}: bbox must satisfy lat0 <= lat1, lon0 <= lon1")
+        x_lo, y_lo = py_tile(lat1, lon0, zoom)  # north-west corner
+        x_hi, y_hi = py_tile(lat0, lon1, zoom)  # south-east corner
+        rows.append((str(zone_id), x_lo, x_hi, y_lo, y_hi))
+    spark = tiled.sparkSession
+    zdf = spark.createDataFrame(
+        rows, "zone_id string, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+    joined = F.broadcast(zdf).join(
+        counts,
+        F.col(x_col).between(F.col("x_lo"), F.col("x_hi"))
+        & F.col(y_col).between(F.col("y_lo"), F.col("y_hi")),
+        "left",
+    )
+    return joined.groupBy("zone_id").agg(
+        F.count(F.col(x_col)).alias("n_tiles"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+    )

