@@ -336,13 +336,22 @@ def zonal_tile_stats(
     zdf = spark.createDataFrame(
         rows, "zone_id string, x_lo long, x_hi long, y_lo long, y_hi long"
     )
-    joined = F.broadcast(zdf).join(
-        counts,
+    # INNER join with the zone table as the broadcast BUILD side — a left
+    # outer join here could only broadcast the right side, which would
+    # ship the occupied-tile frame (large at deep zooms) to every
+    # executor; empty zones are restored afterwards by a left join
+    # between two zone-cardinality frames (both tiny).
+    joined = counts.join(
+        F.broadcast(zdf),
         F.col(x_col).between(F.col("x_lo"), F.col("x_hi"))
         & F.col(y_col).between(F.col("y_lo"), F.col("y_hi")),
-        "left",
     )
-    return joined.groupBy("zone_id").agg(
-        F.count(F.col(x_col)).alias("n_tiles"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+    per_zone = joined.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n").cast("long").alias("n_points"),
+    )
+    return zdf.select("zone_id").join(per_zone, "zone_id", "left").select(
+        "zone_id",
+        F.coalesce(F.col("n_tiles"), F.lit(0)).cast("long").alias("n_tiles"),
+        F.coalesce(F.col("n_points"), F.lit(0)).cast("long").alias("n_points"),
     )

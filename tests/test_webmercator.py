@@ -371,9 +371,15 @@ def test_zonal_tile_stats_overlap_empty_and_weights(spark):
         ("z_sw", -45.0, -35.0, -105.0, -95.0),  # point 4
         ("z_empty", 60.0, 61.0, 60.0, 61.0),  # nothing
     ]
+    out_df = zonal_tile_stats(tiled, zones, zoom=4)
+    # the range join must broadcast the ZONE side (BuildRight of an inner
+    # BNLJ) — broadcasting the occupied-tile frame would not survive deep
+    # zooms at 100 TB
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("BroadcastNestedLoopJoin") :][:120]
+    assert "BuildRight" in seg and "Inner" in seg, seg
     out = {
-        r["zone_id"]: (r["n_tiles"], r["n_points"])
-        for r in zonal_tile_stats(tiled, zones, zoom=4).collect()
+        r["zone_id"]: (r["n_tiles"], r["n_points"]) for r in out_df.collect()
     }
     assert out["z_empty"] == (0, 0)
     assert out["z_sw"] == (1, 1)
