@@ -58,6 +58,12 @@ SHOWCASE = [
     ("spatial_block_split", "spatially-blocked split: ONE Arrow hex7 encode pass + md5-bucket CASE, all projection — ZERO Exchange; the whole train/test assignment runs scan-side"),
     ("spatial_cell_embedding_sums", "per-tile embedding sums: posexplode -> ONE map-side-combined groupBy on (cell, pos); fixed-point int64 partials on the wire, never vectors"),
     ("h3_layout_parent_rollup", "published-H3 id ops: validity (incl. pentagon deleted-K) + parent are pure codegen bit expressions feeding one map-side-combined rollup — zero Python, one 8-byte-key shuffle; WholeStageCodegen must span the whole stage (the base-7 synth variant silently fell to interpreted mode past Janino's 64 KB method cap)"),
+    ("spatial_heatmap_smooth", "heatmap convolution: points collapse to the occupied-tile frame FIRST (combined groupBy), then the 9-offset binomial scatter explodes only that small frame into a second combined groupBy — shuffles carry (x, y, n) triples, never points"),
+    ("spatial_viewport_tiles", "viewport query: bbox becomes two sargable int64 BETWEENs in tile space — filter in codegen right above the scan (footer-prunable on a quadkey-clustered layout), one combined rollup"),
+    ("spatial_zonal_stats", "zonal stats: occupied-tile frame inner-BNLJ against the BROADCAST zone table (BuildRight — never the tile frame), per-zone combined rollup, empty zones restored via a zone-cardinality left join"),
+    ("spatial_tile_change", "change detection: per-epoch conditional partial sums ride ONE combined groupBy — the scan runs once for both epochs"),
+    ("image_dup_geo_spread", "geo-spam signal: ONE groupBy on the 8-byte phash with COUNT(DISTINCT tile) planned as two-stage Expand + partial agg; HAVING prunes singleton groups"),
+    ("spatial_tile_top_sources", "per-tile source mix: (tile, source) combined counts -> rank window with WindowGroupLimit partial top-k BEFORE the exchange; deterministic total order so ties never flap"),
 ]
 
 
