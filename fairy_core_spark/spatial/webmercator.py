@@ -355,3 +355,92 @@ def zonal_tile_stats(
         F.coalesce(F.col("n_tiles"), F.lit(0)).cast("long").alias("n_tiles"),
         F.coalesce(F.col("n_points"), F.lit(0)).cast("long").alias("n_points"),
     )
+
+
+def adaptive_tiles(
+    tiled: DataFrame,
+    zmin: int,
+    zmax: int,
+    max_count: int,
+    quadkey_col: str = "quadkey",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Adaptive quadtree tiling — split a tile while it holds more than
+    ``max_count`` points, down to ``zmax`` (north-rule raster op; the
+    data-driven analog of hex7/H3 ``compact``: dense regions get deep
+    tiles, oceans stay coarse, so a skewed planet-scale corpus is
+    covered by a prefix-free tile set orders of magnitude smaller than
+    the uniform finest grid).
+
+    Input rows carry a base-zoom quadkey (``quadkey_col`` at ``zmax``,
+    e.g. from with_tiles). A node (zoom z, prefix p) of the implicit
+    quadtree is EMITTED iff
+    - ``cnt(p) <= max_count`` and (``z == zmin`` or the parent is over
+      the cap) — the first qualifying level on its chain, or
+    - ``z == zmax`` and ``cnt(p) > max_count`` — an unsplittable hot
+      leaf, emitted as-is (flagged ``is_hot_leaf = 1``).
+
+    The emitted set is PREFIX-FREE and PARTITIONS the input: every
+    point lies under exactly one emitted tile, so emitted ``n_points``
+    sums to the total (both pinned by property tests). Output:
+    ``(zoom, cell, n_points, is_hot_leaf)`` where cell is the quadkey
+    prefix.
+
+    Plan (the 100 TB story): raw rows collapse to the finest-tile frame
+    ONCE (map-side-combined groupBy, the only shuffle that sees row
+    count); per-level node counts come from exploding that SMALL frame
+    through one codegen Generate(stack) into a second combined groupBy;
+    the parent-count test is a self equi-join of the node frame on the
+    parent prefix (substring — pure codegen). Nothing ever walks chains
+    per point, and no level rescans the input.
+    """
+    zmin, zmax = _check_zoom(zmin), _check_zoom(zmax)
+    if zmin > zmax:
+        raise ValueError(f"zmin must be <= zmax, got {zmin} > {zmax}")
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    from fairy_core_spark.spatial.hex7_ops import pyramid_stack
+
+    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    finest = tiled.groupBy(F.col(quadkey_col).alias("qk")).agg(
+        x.cast("long").alias("n")
+    )
+    # fail loudly on quadkeys not at zmax — a shorter key would silently
+    # alias a coarser tile into every level (same guard as pyramid)
+    finest = finest.withColumn(
+        "qk",
+        F.when(F.length("qk") == zmax, F.col("qk")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"adaptive_tiles: quadkey not at base zoom {zmax}: '"),
+                    F.col("qk"),
+                    F.lit("'"),
+                )
+            )
+        ),
+    )
+    lvls = list(range(zmax, zmin - 1, -1))
+    nodes = (
+        pyramid_stack(finest, "qk", lvls, lambda c, z: F.substring(c, 1, z))
+        .groupBy("res", "cell")
+        .agg(F.sum("n").alias("n_points"))
+    )
+    parents = nodes.select(
+        F.col("cell").alias("pcell"), F.col("n_points").alias("pn")
+    )
+    withp = nodes.join(
+        parents,
+        F.substring(F.col("cell"), 1, F.length(F.col("cell")) - 1)
+        == F.col("pcell"),
+        "left",
+    )
+    first_fit = (F.col("n_points") <= max_count) & (
+        (F.col("res") == zmin) | (F.col("pn") > max_count)
+    )
+    hot_leaf = (F.col("res") == zmax) & (F.col("n_points") > max_count)
+    return withp.where(first_fit | hot_leaf).select(
+        F.col("res").cast("long").alias("zoom"),
+        "cell",
+        "n_points",
+        hot_leaf.cast("long").alias("is_hot_leaf"),
+    )

@@ -64,6 +64,7 @@ SHOWCASE = [
     ("spatial_tile_change", "change detection: per-epoch conditional partial sums ride ONE combined groupBy — the scan runs once for both epochs"),
     ("image_dup_geo_spread", "geo-spam signal: ONE groupBy on the 8-byte phash with COUNT(DISTINCT tile) planned as two-stage Expand + partial agg; HAVING prunes singleton groups"),
     ("spatial_tile_top_sources", "per-tile source mix: (tile, source) combined counts -> rank window with WindowGroupLimit partial top-k BEFORE the exchange; deterministic total order so ties never flap"),
+    ("spatial_adaptive_tiles", "adaptive quadtree: rows collapse to the finest-tile frame ONCE; every level via one codegen Generate(stack) over that small frame; parent-count test is a substring equi-join — nothing walks chains per point, no level rescans the input"),
 ]
 
 

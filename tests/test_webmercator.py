@@ -404,3 +404,59 @@ def test_zonal_tile_stats_overlap_empty_and_weights(spark):
     # tile-rectangle agreement with the scalar twin: the z_sw zone's only
     # tile is py_tile of the contained point
     assert py_tile(-40.0, -100.0, 4) == py_tile(-40.0, -100.0, 4)
+
+
+def test_adaptive_tiles_planted_skew(spark):
+    """Prefix-free, mass-conserving, cap-respecting; a planted dense
+    block splits to zmax while the sparse world stays coarse."""
+    import numpy as np
+
+    from fairy_core_spark.spatial.webmercator import adaptive_tiles, with_tiles
+
+    rng = np.random.default_rng(3)
+    pts = [
+        (i, 40.0 + rng.uniform(0, 0.01), -74.0 + rng.uniform(0, 0.01))
+        for i in range(800)
+    ] + [
+        (1000 + i, float(rng.uniform(-60, 60)), float(rng.uniform(-170, 170)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    tiled = with_tiles(df, zoom=10)
+    out = adaptive_tiles(tiled, zmin=2, zmax=10, max_count=30).collect()
+
+    cells = [r["cell"] for r in out]
+    for a in cells:
+        for b in cells:
+            assert a == b or not b.startswith(a), (a, b)  # prefix-free
+    assert sum(r["n_points"] for r in out) == 1000  # partitions the input
+    for r in out:
+        if r["is_hot_leaf"]:
+            assert r["zoom"] == 10 and r["n_points"] > 30
+        else:
+            assert r["n_points"] <= 30
+    assert min(r["zoom"] for r in out) == 2  # sparse world stays coarse
+    assert max(r["zoom"] for r in out) == 10  # dense block fully split
+    assert sum(r["is_hot_leaf"] for r in out) >= 1
+
+
+def test_adaptive_tiles_validation_and_degenerate(spark):
+    import pytest as _pytest
+
+    from fairy_core_spark.spatial.webmercator import adaptive_tiles, with_tiles
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 10.0, 10.0)], "point_id long, lat double, lon double"
+    )
+    tiled = with_tiles(df, zoom=5)
+    with _pytest.raises(ValueError):
+        adaptive_tiles(tiled, zmin=6, zmax=5, max_count=1)
+    with _pytest.raises(ValueError):
+        adaptive_tiles(tiled, zmin=2, zmax=5, max_count=0)
+    # zmin == zmax: the hot leaf IS the only node
+    out = adaptive_tiles(tiled, zmin=5, zmax=5, max_count=1).collect()
+    assert len(out) == 1 and out[0]["is_hot_leaf"] == 1 and out[0]["n_points"] == 2
+    # wrong-zoom quadkey fails loudly
+    bad = with_tiles(df, zoom=4)
+    with _pytest.raises(Exception, match="base zoom"):
+        adaptive_tiles(bad, zmin=2, zmax=5, max_count=1).collect()
