@@ -936,6 +936,14 @@ def cluster_cells(
     return out
 
 
+def mass_col(weight_col: str | None) -> Column:
+    """The shared collapse-to-frame aggregate: COUNT(*) or the integral
+    weight sum — one definition for every tile/cell rollup (hotspot,
+    smoothing, zonal, adaptive) so the integral-weight contract cannot
+    drift between call sites."""
+    return F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+
+
 def smoothed_tile_density(
     tiled: DataFrame,
     x_col: str = "tile_x",
@@ -965,7 +973,9 @@ def smoothed_tile_density(
     ``[0, 2**zoom - 1]^2`` are dropped (no antimeridian x-wrap — same
     contract as bbox_tile_filter / zorder.zranges_for_bbox); edge tiles
     simply receive fewer contributions, the standard "zero-padding"
-    convolution boundary.
+    convolution boundary. INPUT tiles outside the grid (e.g. computed at
+    a deeper zoom than ``zoom``) fail loudly instead of being clipped —
+    clipping would silently erase their mass.
 
     Plan (the 100 TB story): one map-side-combined groupBy collapses the
     raw points to the occupied-tile frame (bounded by 4**zoom, tiny for
@@ -974,8 +984,38 @@ def smoothed_tile_density(
     (x, y, weighted count) int64 triples only, never points. No join, no
     driver collect, nothing quadratic.
     """
-    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
-    counts = tiled.groupBy(x_col, y_col).agg(x.cast("long").alias("n"))
+    counts = tiled.groupBy(x_col, y_col).agg(
+        mass_col(weight_col).cast("long").alias("n")
+    )
+    if zoom is not None:
+        from fairy_core_spark.spatial.webmercator import _check_zoom
+
+        hi_in = (1 << _check_zoom(zoom)) - 1
+        # fail loudly on INPUT tiles outside the grid (e.g. tiles computed
+        # at a deeper zoom): silently clipping them would erase their mass
+        # — including their own n_points — with no error (cf. the pyramid
+        # quadkey guard). Only HALO targets may fall off the grid edge.
+        oob = ~(
+            F.col(x_col).between(0, hi_in) & F.col(y_col).between(0, hi_in)
+        )
+        counts = counts.withColumn(
+            "n",
+            F.when(
+                oob,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"smoothed_tile_density: input tile outside "
+                            f"[0, {hi_in}]^2 at zoom {zoom}: ("
+                        ),
+                        F.col(x_col),
+                        F.lit(", "),
+                        F.col(y_col),
+                        F.lit(")"),
+                    )
+                ),
+            ).otherwise(F.col("n")),
+        )
 
     offsets = F.array(
         *[

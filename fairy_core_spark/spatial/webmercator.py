@@ -322,8 +322,11 @@ def zonal_tile_stats(
     if not zones:
         raise ValueError("zones must be non-empty")
     zoom = _check_zoom(zoom)
-    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
-    counts = tiled.groupBy(x_col, y_col).agg(x.cast("long").alias("n"))
+    from fairy_core_spark.spatial.ops import mass_col
+
+    counts = tiled.groupBy(x_col, y_col).agg(
+        mass_col(weight_col).cast("long").alias("n")
+    )
 
     rows = []
     for zone_id, lat0, lat1, lon0, lon1 in zones:
@@ -332,6 +335,14 @@ def zonal_tile_stats(
         x_lo, y_lo = py_tile(lat1, lon0, zoom)  # north-west corner
         x_hi, y_hi = py_tile(lat0, lon1, zoom)  # south-east corner
         rows.append((str(zone_id), x_lo, x_hi, y_lo, y_hi))
+    ids = [r[0] for r in rows]
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        # the per-zone groupBy would MERGE duplicate ids' rectangles into
+        # one combined row and then emit it once per zdf row — neither
+        # rectangle's true stats recoverable; note str() coercion (1 vs
+        # '1' collide)
+        raise ValueError(f"duplicate zone_id(s) after str() coercion: {dup}")
     spark = tiled.sparkSession
     zdf = spark.createDataFrame(
         rows, "zone_id string, x_lo long, x_hi long, y_lo long, y_hi long"
@@ -399,29 +410,16 @@ def adaptive_tiles(
         raise ValueError(f"zmin must be <= zmax, got {zmin} > {zmax}")
     if max_count < 1:
         raise ValueError(f"max_count must be >= 1, got {max_count}")
-    from fairy_core_spark.spatial.hex7_ops import pyramid_stack
+    from fairy_core_spark.spatial.ops import mass_col
 
-    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
     finest = tiled.groupBy(F.col(quadkey_col).alias("qk")).agg(
-        x.cast("long").alias("n")
+        mass_col(weight_col).cast("long").alias("n")
     )
-    # fail loudly on quadkeys not at zmax — a shorter key would silently
-    # alias a coarser tile into every level (same guard as pyramid)
-    finest = finest.withColumn(
-        "qk",
-        F.when(F.length("qk") == zmax, F.col("qk")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"adaptive_tiles: quadkey not at base zoom {zmax}: '"),
-                    F.col("qk"),
-                    F.lit("'"),
-                )
-            )
-        ),
-    )
-    lvls = list(range(zmax, zmin - 1, -1))
+    # pyramid() carries the not-at-base-zoom raise_error guard and the
+    # substring-prefix Generate(stack) — one copy for every quadkey
+    # explode (this, pyramid gate entries, streaming tiles)
     nodes = (
-        pyramid_stack(finest, "qk", lvls, lambda c, z: F.substring(c, 1, z))
+        pyramid(finest, quadkey_col="qk", zooms=tuple(range(zmin, zmax + 1)))
         .groupBy("res", "cell")
         .agg(F.sum("n").alias("n_points"))
     )

@@ -400,10 +400,18 @@ def test_zonal_tile_stats_overlap_empty_and_weights(spark):
         zonal_tile_stats(tiled, [], zoom=4)
     with _pytest.raises(ValueError):
         zonal_tile_stats(tiled, [("bad", 5.0, 4.0, 0.0, 1.0)], zoom=4)
+    with _pytest.raises(ValueError, match="duplicate zone_id"):
+        zonal_tile_stats(
+            tiled, [("z", 0.0, 1.0, 0.0, 1.0), ("z", 10.0, 11.0, 10.0, 11.0)], zoom=4
+        )
 
-    # tile-rectangle agreement with the scalar twin: the z_sw zone's only
-    # tile is py_tile of the contained point
-    assert py_tile(-40.0, -100.0, 4) == py_tile(-40.0, -100.0, 4)
+    # corner-convention cross-check: the contained point's tile must lie
+    # inside the z_sw zone's tile rectangle as zonal_tile_stats builds it
+    # (NW corner from (lat1, lon0), SE from (lat0, lon1))
+    x_lo, y_lo = py_tile(-35.0, -105.0, 4)
+    x_hi, y_hi = py_tile(-45.0, -95.0, 4)
+    px, py_ = py_tile(-40.0, -100.0, 4)
+    assert x_lo <= px <= x_hi and y_lo <= py_ <= y_hi
 
 
 def test_adaptive_tiles_planted_skew(spark):
@@ -460,3 +468,19 @@ def test_adaptive_tiles_validation_and_degenerate(spark):
     bad = with_tiles(df, zoom=4)
     with _pytest.raises(Exception, match="base zoom"):
         adaptive_tiles(bad, zmin=2, zmax=5, max_count=1).collect()
+
+
+def test_smoothed_tile_density_rejects_out_of_grid_input(spark):
+    """Input tiles outside [0, 2^zoom-1]^2 fail loudly (they'd otherwise
+    be silently clipped, erasing their mass); bad zooms are rejected."""
+    import pytest as _pytest
+
+    from fairy_core_spark.spatial.ops import smoothed_tile_density
+
+    df = spark.createDataFrame([(100, 3)], "tile_x long, tile_y long")
+    with _pytest.raises(Exception, match="outside"):
+        smoothed_tile_density(df, zoom=6).collect()
+    with _pytest.raises(ValueError, match="zoom"):
+        smoothed_tile_density(df, zoom=-1)
+    with _pytest.raises(ValueError, match="zoom"):
+        smoothed_tile_density(df, zoom=50)
