@@ -828,8 +828,7 @@ def hotspot_cells(
     """
     if hot_den <= 0 or hot_num <= 0:
         raise ValueError(f"hot_num/hot_den must be positive, got {hot_num}/{hot_den}")
-    x = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
-    counts = tiled.groupBy(cell_col).agg(x.cast("long").alias("x"))
+    counts = tiled.groupBy(cell_col).agg(mass_col(weight_col).cast("long").alias("x"))
 
     edges = _ring1_edges(counts, cell_col).unionByName(
         counts.select(F.col(cell_col), F.col(cell_col).alias("nbr"))
