@@ -284,6 +284,35 @@ def bbox_tile_filter(
     return F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)
 
 
+def bbox_tile_filter_wrapped(
+    lat0: float,
+    lat1: float,
+    lon_w: float,
+    lon_e: float,
+    zoom: int,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> Column:
+    """Antimeridian-aware viewport predicate — the Pacific-map case every
+    non-wrapping bbox op in this repo (bbox_tile_filter,
+    zorder.zranges_for_bbox, hex7.polyfill) explicitly refuses.
+
+    ``lon_w``/``lon_e`` are the WEST and EAST edges walking eastward:
+    ``lon_w <= lon_e`` is an ordinary bbox (delegates verbatim);
+    ``lon_w > lon_e`` crosses the dateline and splits into the union of
+    two closed rectangles, ``[lon_w, 180] OR [-180, lon_e]`` — still a
+    pure tile-space predicate (four int64 BETWEENs), still sargable: on
+    a quadkey/Z-clustered layout each half prunes its own row-group
+    range, and the OR of two sargable ranges stays footer-prunable.
+    Same conservative contract as bbox_tile_filter: keeps every tile
+    that intersects either half; callers refine on raw lat/lon."""
+    if lon_w <= lon_e:
+        return bbox_tile_filter(lat0, lat1, lon_w, lon_e, zoom, x_col, y_col)
+    west_half = bbox_tile_filter(lat0, lat1, lon_w, 180.0, zoom, x_col, y_col)
+    east_half = bbox_tile_filter(lat0, lat1, -180.0, lon_e, zoom, x_col, y_col)
+    return west_half | east_half
+
+
 def zonal_tile_stats(
     tiled: DataFrame,
     zones: Sequence[tuple[str, float, float, float, float]],

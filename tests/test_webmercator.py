@@ -127,6 +127,52 @@ def test_bbox_tile_filter_conservative(spark):
     assert len(kept_ids) < len(pts) / 2  # actually prunes
 
 
+def test_bbox_tile_filter_wrapped_dateline(spark):
+    """Pacific viewport (west 150E, east 150W): exactly the points within
+    either dateline half survive — none from the excluded mid band; a
+    non-wrapping call (lon_w <= lon_e) matches bbox_tile_filter verbatim."""
+    from fairy_core_spark.spatial.webmercator import bbox_tile_filter_wrapped
+
+    pts = _rand_points(600, seed=29)
+    df = with_tiles(spark.createDataFrame(pts, "i long, lat double, lon double"), 8)
+    lat0, lat1, lon_w, lon_e = -40.0, 40.0, 150.0, -150.0
+    kept_ids = {
+        r["i"]
+        for r in df.where(
+            bbox_tile_filter_wrapped(lat0, lat1, lon_w, lon_e, 8)
+        ).select("i").collect()
+    }
+    inside = {
+        i
+        for i, lat, lon in pts
+        if lat0 <= lat <= lat1 and (lon >= lon_w or lon <= lon_e)
+    }
+    assert inside <= kept_ids  # conservative: never drops an inside point
+    # tile-rectangle cover is tight to within the two edge tile columns
+    assert len(kept_ids) < len(pts) / 2
+    # every survivor is inside the (tile-widened) union, never the mid band:
+    # one zoom-8 tile spans 360/256 deg of lon, so allow that slack
+    slack = 360.0 / 256 + 1e-9
+    for i, lat, lon in pts:
+        if i in kept_ids:
+            assert lon >= lon_w - slack or lon <= lon_e + slack
+            assert lat0 - 1.0 <= lat <= lat1 + 1.0
+    # degenerate to the plain filter when not wrapping
+    plain = {
+        r["i"]
+        for r in df.where(
+            bbox_tile_filter_wrapped(-10.0, 25.0, 30.0, 80.0, 8)
+        ).select("i").collect()
+    }
+    ref = {
+        r["i"]
+        for r in df.where(bbox_tile_filter(-10.0, 25.0, 30.0, 80.0, 8))
+        .select("i")
+        .collect()
+    }
+    assert plain == ref
+
+
 def test_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="zoom"):
         py_tile(0.0, 0.0, 24)
