@@ -894,3 +894,58 @@ def phash_geo_spread(
             (F.col("n_tiles") >= 2).cast("long").alias("is_spread"),
         )
     )
+
+
+def phash_dup_keeper(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Disposition table for near-duplicate image groups — the step that
+    turns pair detection into an actionable keep/drop list (the image
+    twin of the reference's keep-first duplicate semantics,
+    rulepack_runner.py:698-733, upgraded to quality-aware): within each
+    Hamming<=k phash component, KEEP the highest-resolution copy
+    (max ``w*h`` pixels, ties broken by min id — fully deterministic),
+    DROP the rest.
+
+    Output: one row per image that belongs to a near-dup group —
+    ``(image_id, group_id, keeper_id, is_keeper)`` with ``group_id`` =
+    min image id in the component (connected_components contract) and
+    ``is_keeper`` an integer 0/1. Singletons are absent by design
+    (left-join + coalesce to annotate a corpus); the drop list is
+    ``is_keeper = 0``.
+
+    Plan (the 100 TB story): pairs come from the 4x16-band pigeonhole
+    self-join (nothing quadratic), components from min-label
+    propagation (state = two ids per node), and the keeper pick is ONE
+    row_number window over (group_id) plus a keeper-id window over the
+    SAME partitioning — Spark plans the second window in the first's
+    exchange, so the whole disposition costs one extra shuffle on
+    group_id. Dimensions ride as two ints; pixels never shuffle."""
+    from pyspark.sql import Window
+
+    pairs = phash_near_dups(df, phash_col=phash_col, id_col=id_col, max_hamming=max_hamming)
+    members = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    ranked = members.join(
+        df.select(id_col, (F.col(w_col) * F.col(h_col)).cast("long").alias("px")),
+        id_col,
+    )
+    by_group = Window.partitionBy("group_id")
+    order = by_group.orderBy(F.col("px").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("rk", F.row_number().over(order))
+        .withColumn(
+            "keeper_id",
+            F.max(F.when(F.col("rk") == 1, F.col(id_col))).over(by_group),
+        )
+        .select(
+            id_col,
+            "group_id",
+            "keeper_id",
+            (F.col("rk") == 1).cast("long").alias("is_keeper"),
+        )
+    )

@@ -138,3 +138,32 @@ def test_batch_synth_bit_identical_to_scalar():
         for col in ("image_id", "w", "h", "fmt", "caption", "phash"):
             assert got[col] == ref[col], (i, col)
         assert bytes(got["bytes"]) == bytes(ref["bytes"]), (i, "bytes")
+
+
+def test_phash_dup_keeper_planted_groups(spark):
+    """Two planted components (one via a Hamming-1 bridge) + a singleton:
+    keeper = max w*h, ties -> min id; singleton absent; drop list exact."""
+    from fairy_core_spark.operators.dedup import phash_dup_keeper
+
+    rows = [
+        # component 1: a==b exactly, c one bit away from b -> {a, b, c}
+        ("a", 0x1111, 10, 10),
+        ("b", 0x1111, 20, 20),   # biggest -> keeper
+        ("c", 0x1110, 20, 20),   # same px as b, id 'c' > 'b' loses the tie
+        # component 2: exact pair, equal px -> min id keeps
+        ("d", 0xF0F0F0F0, 8, 8),
+        ("e", 0xF0F0F0F0, 8, 8),
+        # singleton: far from everything
+        ("z", 0x0F0F0F0F0F0F0F0F, 99, 99),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, w int, h int")
+    got = {
+        r["image_id"]: (r["group_id"], r["keeper_id"], r["is_keeper"])
+        for r in phash_dup_keeper(df).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d", "e"}  # singleton z absent
+    assert got["a"] == ("a", "b", 0)
+    assert got["b"] == ("a", "b", 1)
+    assert got["c"] == ("a", "b", 0)
+    assert got["d"] == ("d", "d", 1)
+    assert got["e"] == ("d", "d", 0)
