@@ -65,6 +65,8 @@ SHOWCASE = [
     ("image_dup_geo_spread", "geo-spam signal: ONE groupBy on the 8-byte phash with COUNT(DISTINCT tile) planned as two-stage Expand + partial agg; HAVING prunes singleton groups"),
     ("spatial_tile_top_sources", "per-tile source mix: (tile, source) combined counts -> rank window with WindowGroupLimit partial top-k BEFORE the exchange; deterministic total order so ties never flap"),
     ("spatial_adaptive_tiles", "adaptive quadtree: rows collapse to the finest-tile frame ONCE; every level via one codegen Generate(stack) over that small frame; parent-count test is a substring equi-join — nothing walks chains per point, no level rescans the input"),
+    ("spatial_viewport_wrapped", "antimeridian viewport: dateline split becomes the OR of two closed tile rectangles (four sargable int64 BETWEENs) in codegen right above the scan — each half prunes its own row-group range on a clustered layout"),
+    ("image_dup_keeper", "dup disposition: band-LSH pairs -> min-label components -> row_number + keeper windows share ONE group_id exchange; dimensions ride as two ints, pixels never shuffle"),
 ]
 
 
