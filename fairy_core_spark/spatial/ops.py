@@ -24,6 +24,7 @@ Physical strategy notes (the 100 TB story):
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -943,6 +944,40 @@ def mass_col(weight_col: str | None) -> Column:
     return F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
 
 
+def _fail_outside_grid(
+    counts: DataFrame,
+    x_col: str,
+    y_col: str,
+    hi_in: int,
+    zoom: int,
+    opname: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared fail-loud guard for tile-raster ops: INPUT tiles outside
+    ``[0, hi_in]^2`` raise instead of being clipped — clipping would
+    silently erase their mass (cf. the pyramid quadkey guard). Only
+    scatter/halo TARGETS may fall off the grid edge."""
+    oob = ~(F.col(x_col).between(0, hi_in) & F.col(y_col).between(0, hi_in))
+    return counts.withColumn(
+        value_col,
+        F.when(
+            oob,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{opname}: input tile outside "
+                        f"[0, {hi_in}]^2 at zoom {zoom}: ("
+                    ),
+                    F.col(x_col),
+                    F.lit(", "),
+                    F.col(y_col),
+                    F.lit(")"),
+                )
+            ),
+        ).otherwise(F.col(value_col)),
+    )
+
+
 def smoothed_tile_density(
     tiled: DataFrame,
     x_col: str = "tile_x",
@@ -994,26 +1029,8 @@ def smoothed_tile_density(
         # at a deeper zoom): silently clipping them would erase their mass
         # — including their own n_points — with no error (cf. the pyramid
         # quadkey guard). Only HALO targets may fall off the grid edge.
-        oob = ~(
-            F.col(x_col).between(0, hi_in) & F.col(y_col).between(0, hi_in)
-        )
-        counts = counts.withColumn(
-            "n",
-            F.when(
-                oob,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"smoothed_tile_density: input tile outside "
-                            f"[0, {hi_in}]^2 at zoom {zoom}: ("
-                        ),
-                        F.col(x_col),
-                        F.lit(", "),
-                        F.col(y_col),
-                        F.lit(")"),
-                    )
-                ),
-            ).otherwise(F.col("n")),
+        counts = _fail_outside_grid(
+            counts, x_col, y_col, hi_in, zoom, "smoothed_tile_density", "n"
         )
 
     offsets = F.array(
@@ -1045,4 +1062,110 @@ def smoothed_tile_density(
     return scattered.groupBy(x_col, y_col).agg(
         F.sum("self_n").alias("n_points"),
         F.sum("wn").alias("density_x16"),
+    )
+
+
+def idw_fill(
+    tiled: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    zoom: int | None = None,
+    weight_col: str | None = None,
+    radius: int = 2,
+) -> DataFrame:
+    """Inverse-distance-weighted gap filling over a square tile grid —
+    the raster interpolation step that estimates a surface value for
+    EMPTY tiles from their occupied neighbours (north-rule raster op;
+    the reference has no spatial code. Classic IDW, Shepard 1968, with
+    the conventional power-2 weights w = 1/d^2).
+
+    Input: one row per point (or pre-weighted row) carrying integer
+    tile coords at one zoom (e.g. from webmercator.with_tiles). Output:
+    one row per EMPTY tile within Chebyshev distance <= ``radius`` of
+    at least one occupied tile, with
+
+    - ``idw_num`` / ``idw_den``  INTEGER-exact scaled numerator and
+      denominator: weights are ``L / d^2`` where ``L`` is the LCM of
+      every squared distance in the disk, so ``L/d^2`` is an exact
+      int64 and both sums are integers — the estimate is reproducible
+      bit-for-bit across engines and aggregation orders (same contract
+      trick as smoothed_tile_density's x16 kernel);
+    - ``idw_value``  the float surface, ``ROUND(idw_num/idw_den, 6)``.
+
+    Occupied tiles are NOT emitted (they have a measured value); empty
+    tiles with no occupied neighbour in the disk are absent (no
+    extrapolation beyond ``radius``). Edge convention matches
+    smoothed_tile_density: with ``zoom``, scatter targets outside the
+    grid are dropped, out-of-grid INPUT tiles fail loudly.
+
+    Plan (the 100 TB story): one map-side-combined groupBy collapses
+    points to the occupied-tile frame; the fill is a (2r+1)^2-offset
+    conditional explode of that SMALL frame plus one more combined
+    groupBy — shuffle carries (x, y, int64 partials) only, never
+    points. No join, no driver collect, nothing quadratic."""
+    if not 1 <= int(radius) <= 8:
+        raise ValueError(f"radius must be in [1, 8], got {radius}")
+    radius = int(radius)
+    counts = tiled.groupBy(x_col, y_col).agg(
+        mass_col(weight_col).cast("long").alias("n")
+    )
+    if zoom is not None:
+        from fairy_core_spark.spatial.webmercator import _check_zoom
+
+        hi = (1 << _check_zoom(zoom)) - 1
+        counts = _fail_outside_grid(counts, x_col, y_col, hi, zoom, "idw_fill", "n")
+
+    d2s = sorted(
+        {
+            dx * dx + dy * dy
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            if (dx, dy) != (0, 0)
+        }
+    )
+    lcm = math.lcm(*d2s)
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(0 if (dx, dy) == (0, 0) else lcm // (dx * dx + dy * dy)).alias(
+                    "w"
+                ),
+            )
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    scattered = counts.select(
+        F.explode(offsets).alias("o"), F.col(x_col), F.col(y_col), F.col("n")
+    ).select(
+        (F.col(x_col) + F.col("o.dx")).alias(x_col),
+        (F.col(y_col) + F.col("o.dy")).alias(y_col),
+        (F.col("n") * F.col("o.w")).alias("nw"),
+        F.col("o.w").alias("w"),
+        F.when((F.col("o.dx") == 0) & (F.col("o.dy") == 0), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("self_n"),
+    )
+    if zoom is not None:
+        hi = (1 << int(zoom)) - 1
+        scattered = scattered.where(
+            F.col(x_col).between(0, hi) & F.col(y_col).between(0, hi)
+        )
+    return (
+        scattered.groupBy(x_col, y_col)
+        .agg(
+            F.sum("self_n").alias("self_n"),
+            F.sum("nw").alias("idw_num"),
+            F.sum("w").alias("idw_den"),
+        )
+        .where((F.col("self_n") == 0) & (F.col("idw_den") > 0))
+        .select(
+            x_col,
+            y_col,
+            "idw_num",
+            "idw_den",
+            F.round(F.col("idw_num") / F.col("idw_den"), 6).alias("idw_value"),
+        )
     )

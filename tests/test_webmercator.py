@@ -530,3 +530,48 @@ def test_smoothed_tile_density_rejects_out_of_grid_input(spark):
         smoothed_tile_density(df, zoom=-1)
     with _pytest.raises(ValueError, match="zoom"):
         smoothed_tile_density(df, zoom=50)
+
+
+def test_idw_fill_hand_checked(spark):
+    """Two occupied tiles -> hand-derived integer num/den at known empty
+    tiles; occupied absent; Chebyshev-radius bound respected."""
+    from fairy_core_spark.spatial.ops import idw_fill
+
+    rows = [(5, 5)] * 4 + [(7, 5)] * 2
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long")
+    out = {
+        (r.tile_x, r.tile_y): (r.idw_num, r.idw_den, r.idw_value)
+        for r in idw_fill(df, radius=2).collect()
+    }
+    # (6,5): both at d2=1 -> w=40 each (LCM(1,2,4,5,8)=40): (4+2)*40 / 80
+    assert out[(6, 5)] == (240, 80, 3.0)
+    # (3,5): only (5,5) at d2=4 -> w=10
+    assert out[(3, 5)] == (40, 10, 4.0)
+    # (6,6): d2=2 to both -> w=20 each: (4+2)*20 / 40 = 3.0
+    assert out[(6, 6)] == (120, 40, 3.0)
+    assert (5, 5) not in out and (7, 5) not in out  # occupied not emitted
+    assert (10, 5) not in out  # beyond Chebyshev radius 2 of both
+    # every emitted tile is within radius 2 of an occupied tile
+    for x, y in out:
+        assert min(max(abs(x - 5), abs(y - 5)), max(abs(x - 7), abs(y - 5))) <= 2
+
+
+def test_idw_fill_grid_edge_and_guards(spark):
+    """zoom bound drops off-grid fill targets; out-of-grid INPUT fails
+    loudly; bad radius rejected."""
+    import pytest as _pt
+    from pyspark.sql.utils import AnalysisException
+
+    from fairy_core_spark.spatial.ops import idw_fill
+
+    corner = spark.createDataFrame([(0, 0)], "tile_x long, tile_y long")
+    out = {(r.tile_x, r.tile_y) for r in idw_fill(corner, zoom=3, radius=2).collect()}
+    assert all(0 <= x <= 7 and 0 <= y <= 7 for x, y in out)
+    assert (1, 0) in out and (-1, 0) not in out
+
+    bad = spark.createDataFrame([(9, 3)], "tile_x long, tile_y long")
+    with _pt.raises(Exception, match="input tile outside"):
+        idw_fill(bad, zoom=3).collect()
+
+    with _pt.raises(ValueError, match="radius"):
+        idw_fill(corner, radius=0)
