@@ -246,6 +246,50 @@ def caption_exact_dups(images: DataFrame) -> DataFrame:
     )
 
 
+def caption_phash_consistency(images: DataFrame) -> DataFrame:
+    """Cross-modal duplicate-consistency audit over the image+caption
+    payload — the curation signal neither single-modality dedup sees:
+
+    - ``kind='phash'`` rows: exact-pixel dup groups (same phash, n>1)
+      with ``n_distinct_other`` = distinct caption BODIES in the group.
+      >1 means the same image circulates under disagreeing captions
+      (attribution noise / caption spam — pick one before training).
+    - ``kind='caption'`` rows: caption-body dup groups with
+      ``n_distinct_other`` = distinct phashes. >1 means boilerplate
+      alt-text pasted onto different images (low-information captions).
+
+    ``is_consistent`` = 1 iff the group agrees on the other modality.
+    Key is stringified (phash via decimal cast) so both sides union
+    into one frame.
+
+    Scale: two map-side-combined groupBys over (8-byte phash, short
+    body) pairs — bytes never shuffle, nothing quadratic; the
+    count(DISTINCT) plans as the standard two-stage expand."""
+    base = (
+        images.where(F.col("caption").isNotNull())
+        .select("phash", caption_body().alias("body"))
+        .where(F.col("body").isNotNull())
+    )
+    def side(key_col: str, other_col: str, kind: str) -> DataFrame:
+        return (
+            base.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.countDistinct(F.col(other_col)).alias("n_distinct_other"),
+            )
+            .where(F.col("n_members") > 1)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col(key_col).cast("string").alias("key"),
+                "n_members",
+                "n_distinct_other",
+                (F.col("n_distinct_other") == 1).cast("long").alias("is_consistent"),
+            )
+        )
+
+    return side("phash", "body", "phash").unionByName(side("body", "phash", "caption"))
+
+
 PIXEL_STATS_SCHEMA = (
     "image_id string, n_px long, px_sum long, px_sqsum long,"
     " px_min int, px_max int"

@@ -167,3 +167,37 @@ def test_phash_dup_keeper_planted_groups(spark):
     assert got["c"] == ("a", "b", 0)
     assert got["d"] == ("d", "d", 1)
     assert got["e"] == ("d", "d", 0)
+
+
+def test_caption_phash_consistency_planted(spark):
+    """Planted groups on both sides: consistent + inconsistent phash
+    groups, an inconsistent caption group, singletons absent."""
+    from fairy_core_spark.operators.images import caption_phash_consistency
+
+    rows = [
+        # phash 1: two copies, SAME body -> consistent
+        ("a", 1, "caption for a: sunset beach"),
+        ("b", 1, "caption for b: sunset beach"),
+        # phash 2: two copies, DIFFERENT bodies -> inconsistent
+        ("c", 2, "caption for c: a cat"),
+        ("d", 2, "caption for d: a dog"),
+        # caption group "stock photo" across phashes 3 and 4 -> inconsistent
+        ("e", 3, "caption for e: stock photo"),
+        ("f", 4, "caption for f: stock photo"),
+        # singleton everything
+        ("g", 5, "caption for g: unique"),
+        # null caption ignored
+        ("h", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    got = {
+        (r.kind, r.key): (r.n_members, r.n_distinct_other, r.is_consistent)
+        for r in caption_phash_consistency(df).collect()
+    }
+    assert got[("phash", "1")] == (2, 1, 1)
+    assert got[("phash", "2")] == (2, 2, 0)
+    assert got[("caption", "sunset beach")] == (2, 1, 1)  # dup on BOTH sides
+    assert got[("caption", "stock photo")] == (2, 2, 0)
+    assert ("phash", "5") not in got and ("caption", "unique") not in got
+    assert ("phash", "3") not in got  # singleton phash groups absent
+    assert len(got) == 4
