@@ -205,3 +205,67 @@ def streaming_tile_pyramid(
             F.round(F.avg("h"), 4).alias("avg_h"),
         )
     )
+
+
+def streaming_heatmap(
+    stream: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    zoom: int = 8,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Streaming twin of spatial/ops.smoothed_tile_density: per-(window,
+    tile) binomial-kernel 3x3 heatmap raster — (window, tile_x, tile_y,
+    n_points, density_x16), integer-exact via the x16-scaled kernel,
+    zero-padding edges (scatter targets off the grid are dropped).
+
+    Physical contrast with the batch op: batch collapses points to the
+    occupied-tile frame FIRST and scatters that small frame, but a
+    pre-aggregation here would be a second stateful stage (illegal
+    under append mode), so the 9-offset scatter runs PER POINT as a
+    stateless codegen explode before the one legal watermark-closed
+    aggregation. The 9x row multiplication never reaches the wire:
+    map-side partial aggregation collapses it to the occupied-dilation
+    frame per partition, so the shuffle still carries (window, x, y,
+    int64 partials). The whole plan is Python-free (slippy encode +
+    explode + agg, all Column math)."""
+    from fairy_core_spark.spatial.webmercator import _check_zoom, tile_x_col, tile_y_col
+
+    hi = (1 << _check_zoom(zoom)) - 1
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit((2 - abs(dx)) * (2 - abs(dy))).alias("w"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    scattered = (
+        stream.withColumn("__x", tile_x_col(F.col(lon_col), zoom))
+        .withColumn("__y", tile_y_col(F.col(lat_col), zoom))
+        .withColumn("__event_ts", F.col(ts_col).cast("timestamp"))
+        .select("__event_ts", F.explode(offsets).alias("o"), "__x", "__y")
+        .select(
+            "__event_ts",
+            (F.col("__x") + F.col("o.dx")).alias("tile_x"),
+            (F.col("__y") + F.col("o.dy")).alias("tile_y"),
+            F.col("o.w").alias("w"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).cast("long").alias("self_n"),
+        )
+        .where(F.col("tile_x").between(0, hi) & F.col("tile_y").between(0, hi))
+    )
+    win = F.window(F.col("__event_ts"), window, slide or window)
+    return (
+        scattered.withWatermark("__event_ts", watermark)
+        .groupBy(win.alias("window"), F.col("tile_x"), F.col("tile_y"))
+        .agg(
+            F.sum("self_n").alias("n_points"),
+            F.sum("w").alias("density_x16"),
+        )
+    )

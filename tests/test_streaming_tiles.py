@@ -467,3 +467,51 @@ def test_streaming_pyramid_webmercator_matches_batch(spark, tmp_path):
     }
     closed_got = {k: v for k, v in got.items() if k[0] < last_ws}
     assert closed_got == exp
+
+
+def test_streaming_heatmap_matches_batch_on_closed_windows(spark, tmp_path):
+    """streaming_heatmap == batch smoothed_tile_density per closed window
+    (the per-point scatter commutes with the windowed count), and the
+    streaming plan is Python-free."""
+    from fairy_core_spark.spatial.ops import smoothed_tile_density
+    from fairy_core_spark.spatial.webmercator import with_tiles
+    from fairy_core_spark.streaming.tiles import streaming_heatmap
+
+    src = tmp_path / "heat_src"
+    batch = _source_df(spark)
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(str(src))
+    q = (
+        streaming_heatmap(stream, zoom=8, window="1 hour", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("heat")
+        .option("checkpointLocation", str(tmp_path / "ckpt_heat"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["ws"], r["tile_x"], r["tile_y"]): (r["n_points"], r["density_x16"])
+        for r in spark.sql(
+            "SELECT window.start AS ws, tile_x, tile_y, n_points, density_x16 FROM heat"
+        ).collect()
+    }
+    assert got, "no closed windows emitted"
+
+    # batch reference: per hourly window, the batch convolution
+    wb = batch.withColumn("ws", F.window(F.col("ts"), "1 hour").getField("start"))
+    exp = {}
+    for ws_row in wb.select("ws").distinct().collect():
+        ws = ws_row["ws"]
+        sub = with_tiles(wb.where(F.col("ws") == F.lit(ws)), zoom=8, quadkey=False)
+        for r in smoothed_tile_density(sub, zoom=8).collect():
+            exp[(ws, r["tile_x"], r["tile_y"])] = (r["n_points"], r["density_x16"])
+    last_ws = max(ws for ws, _, _ in exp)
+    exp_closed = {k: v for k, v in exp.items() if k[0] < last_ws}
+    got_closed = {k: v for k, v in got.items() if k[0] < last_ws}
+    assert got_closed == exp_closed
+    # Python-free streaming plan
+    plan = streaming_heatmap(stream, zoom=8)._jdf.queryExecution().analyzed().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
