@@ -260,3 +260,111 @@ def quota_sample_scaled_sql(
       )
     ) WHERE __r <= __s * {int(m)}
     """
+
+
+def proportional_allocation_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to (at most) ``budget`` rows while PRESERVING the input's
+    group mix — largest-remainder (Hamilton) apportionment over the group
+    histogram, then the content-stable md5 pick inside each group. The
+    "shrink the corpus 100x but keep its geographic/domain distribution"
+    operator; per-group caps (:func:`quota_sample`) flatten the mix, this
+    keeps it proportional.
+
+    Allocation is INTEGER-exact end to end: with ``P = budget * n_g``,
+    ``base_g = P div total`` and ``rem_g = P mod total`` in decimal(38,0)
+    (never a float quotient — ``budget * n_g`` overflows int64 at corpus
+    scale), and the ``budget - sum(base)`` leftover seats go to the
+    largest ``rem_g`` (ties: ascending group key) — fully deterministic,
+    engine-portable. ``sum(allocation) == budget`` whenever
+    ``budget <= total`` (Hamilton invariant, property-tested); when
+    ``budget >= total`` every row is kept.
+
+    Scale shape: one map-side-combined groupBy builds the histogram; the
+    apportionment runs entirely on that SMALL frame (caller contract:
+    group cardinality is bounded — tiles, domains, languages — so the
+    one single-partition ranking window over it is a few thousand rows,
+    NOT the corpus); the allocation then broadcast-joins back and the
+    per-group pick is the same ONE window shuffle as quota_sample with
+    WindowGroupLimit applying per group. Rows never shuffle twice."""
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").cast("decimal(38,0)").alias("__total"))
+    prod = F.col("__n").cast("decimal(38,0)") * F.lit(int(budget)).cast(
+        "decimal(38,0)"
+    )
+    sized = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "__n",
+        ((prod - prod % F.col("__total")) / F.col("__total"))
+        .cast("long")
+        .alias("__base"),
+        (prod % F.col("__total")).cast("long").alias("__rem"),
+    )
+    # the leftover-seat rank and the base sum both live on the small
+    # histogram frame; Window.partitionBy() (single partition) is
+    # deliberate and safe there
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = w_all.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    alloc = sized.select(
+        group_col,
+        (
+            F.col("__base")
+            + (
+                F.row_number().over(w_rank)
+                <= F.lit(int(budget)) - F.sum("__base").over(w_all)
+            ).cast("long")
+        ).alias("__alloc"),
+    )
+    h = _md5_60_col(_salted_key(F.col(key_col), salt))
+    w_pick = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        df.join(F.broadcast(alloc), group_col)
+        .withColumn("__pa_rank", F.row_number().over(w_pick))
+        .where(F.col("__pa_rank") <= F.col("__alloc"))
+        .drop("__pa_rank", "__alloc")
+    )
+
+
+def proportional_allocation_sql(
+    table: str, group: str, key: str, budget: int, salt: str = ""
+) -> str:
+    """DuckDB replay of :func:`proportional_allocation_sample` — same
+    integer div/mod apportionment, leftover ranking and md5 pick."""
+    expr = _salted_key_sql(key, salt)
+    b = int(budget)
+    return f"""
+    SELECT * EXCLUDE (__h, __r, __alloc) FROM (
+      SELECT t.*, ('0x' || substring(md5({expr}), 1, 15))::BIGINT AS __h,
+             ROW_NUMBER() OVER (PARTITION BY {group}
+               ORDER BY ('0x' || substring(md5({expr}), 1, 15))::BIGINT ASC,
+                        {key} ASC NULLS LAST) AS __r,
+             a.__alloc
+      FROM {table} t JOIN (
+        SELECT {group},
+               CAST(__base + CASE WHEN ROW_NUMBER() OVER (
+                   ORDER BY __rem DESC, {group} ASC)
+                 <= {b} - SUM(__base) OVER () THEN 1 ELSE 0 END AS BIGINT)
+                 AS __alloc
+        FROM (
+          SELECT {group},
+                 CAST(({b}::HUGEINT * __n) // __total AS BIGINT) AS __base,
+                 CAST(({b}::HUGEINT * __n) % __total AS BIGINT) AS __rem
+          FROM (
+            SELECT {group}, COUNT(*) AS __n, SUM(COUNT(*)) OVER () AS __total
+            FROM {table} GROUP BY {group}
+          )
+        )
+      ) a USING ({group})
+    ) WHERE __r <= __alloc
+    """

@@ -69,6 +69,7 @@ SHOWCASE = [
     ("image_dup_keeper", "dup disposition: band-LSH pairs -> min-label components -> row_number + keeper windows share ONE group_id exchange; dimensions ride as two ints, pixels never shuffle"),
     ("spatial_idw_fill", "IDW gap fill: occupied-tile frame first, 25-offset scatter with LCM-scaled INTEGER weights into a second combined groupBy — the interpolation is exact int64 until the single final division"),
     ("image_caption_consistency", "cross-modal audit: two combined groupBys over (phash, caption-body) with two-stage expand count(DISTINCT); bytes never shuffle; HAVING prunes singleton groups"),
+    ("spatial_proportional_sample", "Hamilton downsample: apportionment on the SMALL tile histogram (decimal div/mod, leftover rank), broadcast alloc join, ONE pick window on the tile key — rows shuffle exactly once"),
 ]
 
 

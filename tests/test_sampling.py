@@ -180,3 +180,57 @@ def test_hash_bucket_random_battery_vs_duckdb(spark):
     )
     assert got == exp and len(got) == len(keys)
     assert all(0 <= b < _BUCKETS for b in got.values())
+
+
+def test_proportional_allocation_hamilton_invariants(spark):
+    """Hand-derived Hamilton quotas (50/30/15/5 at budget 10 -> 5/3/2/0:
+    the leftover seat goes to 'c' on the rem tie-break), sum(kept) ==
+    budget, budget >= total keeps all, and the kept set is
+    partition-invariant."""
+    from fairy_core_spark.operators.sampling import proportional_allocation_sample
+
+    rows = (
+        [("a", i) for i in range(50)]
+        + [("b", i + 100) for i in range(30)]
+        + [("c", i + 200) for i in range(15)]
+        + [("d", i + 300) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = proportional_allocation_sample(df, "grp", "k", 10)
+    per = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 5, "b": 3, "c": 2}
+    assert sum(per.values()) == 10
+    assert proportional_allocation_sample(df, "grp", "k", 1000).count() == 100
+    out2 = proportional_allocation_sample(df.repartition(13), "grp", "k", 10)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+    with pytest.raises(ValueError, match="budget"):
+        proportional_allocation_sample(df, "grp", "k", 0)
+
+
+def test_proportional_allocation_matches_duckdb_twin(spark):
+    """Three-way parity on a skewed random frame: engine == the
+    proportional_allocation_sql replay (incl. the HUGEINT div/mod and
+    leftover ranking)."""
+    import duckdb
+
+    from fairy_core_spark.operators.sampling import (
+        proportional_allocation_sample,
+        proportional_allocation_sql,
+    )
+
+    rows = [(f"g{(i * i) % 7}", f"k{i:04d}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, k string")
+    got = {
+        (r["grp"], r["k"])
+        for r in proportional_allocation_sample(df, "grp", "k", 37).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {
+        tuple(r)
+        for r in con.execute(
+            proportional_allocation_sql("t", "grp", "k", 37)
+        ).fetchall()
+    }
+    assert got == exp and len(got) == 37
