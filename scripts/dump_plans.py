@@ -70,6 +70,7 @@ SHOWCASE = [
     ("spatial_idw_fill", "IDW gap fill: occupied-tile frame first, 25-offset scatter with LCM-scaled INTEGER weights into a second combined groupBy — the interpolation is exact int64 until the single final division"),
     ("image_caption_consistency", "cross-modal audit: two combined groupBys over (phash, caption-body) with two-stage expand count(DISTINCT); bytes never shuffle; HAVING prunes singleton groups"),
     ("spatial_proportional_sample", "Hamilton downsample: apportionment on the SMALL tile histogram (decimal div/mod, leftover rank), broadcast alloc join, ONE pick window on the tile key — rows shuffle exactly once"),
+    ("spatial_hilbert_encode", "Hilbert encode: ONE vectorized Arrow projection, zero shuffle — per-level fold state stays in numpy registers, never in an exponentially-duplicated Column tree"),
 ]
 
 
