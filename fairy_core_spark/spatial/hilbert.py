@@ -181,3 +181,123 @@ def hilbert_recursive_sql(order: int, src: str, passthrough: str) -> str:
     hilbert_done AS (
       SELECT {passthrough}, d FROM hilbert_step WHERE k = -1
     )"""
+
+
+# Child transforms of the U-shaped curve, derived from the d2xy fold: the
+# quadrant visited at curve position q maps child-local (u, v) in [0,s)^2
+# to parent-local coords. Verified against the order-1 base case.
+#   q=0: (v, u)             + (0, 0)
+#   q=1: (u, v)             + (0, s)
+#   q=2: (u, v)             + (s, s)
+#   q=3: (s-1-v, s-1-u)     + (s, 0)
+
+
+def hilbert_ranges_for_bbox(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    order: int,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Merged, sorted curve-position intervals covering EXACTLY the tiles
+    of the closed rectangle [x_lo, x_hi] x [y_lo, y_hi] — the Hilbert
+    twin of zorder.zranges_for_bbox, by top-down quadrant descent: a
+    subtree fully inside the rect emits one interval, a disjoint one is
+    skipped, a straddling one recurses with the composed child affine
+    map. When splitting would exceed ``max_ranges`` after merging, the
+    straddling cells at the current floor are emitted whole instead
+    (conservative over-cover, same trade as zrange_filter's depth cap).
+
+    Locality payoff vs Z-order: Hilbert subtree runs are CONNECTED
+    squares with no seam teleports, so the same rectangle merges into
+    fewer intervals on average (asserted by test battery)."""
+    order = _check_order(order)
+    n = 1 << order
+    if not (0 <= x_lo <= x_hi < n and 0 <= y_lo <= y_hi < n):
+        raise ValueError(f"bbox must satisfy 0 <= lo <= hi < 2^{order}")
+    out: list[tuple[int, int]] = []
+
+    # affine map M = (a, b, e, c, d, f): global_x = a*u + b*v + e,
+    # global_y = c*u + d*v + f  over local (u, v) in [0, size)^2
+    def walk(d0: int, size: int, m: tuple[int, ...], budget: list[int]) -> None:
+        a, b, e, c, d, f = m
+        # global bbox of this cell: evaluate the two extreme corners
+        xs = (e, a * (size - 1) + b * (size - 1) + e)
+        ys = (f, c * (size - 1) + d * (size - 1) + f)
+        cx_lo, cx_hi = min(xs), max(xs)
+        cy_lo, cy_hi = min(ys), max(ys)
+        if cx_hi < x_lo or cx_lo > x_hi or cy_hi < y_lo or cy_lo > y_hi:
+            return
+        full = (
+            x_lo <= cx_lo and cx_hi <= x_hi and y_lo <= cy_lo and cy_hi <= y_hi
+        )
+        if full or size == 1 or budget[0] <= 0:
+            out.append((d0, d0 + size * size - 1))
+            return
+        h = size >> 1
+        budget[0] -= 3  # a split can grow the interval count by <= 3
+        for q, (qa, qb, qe, qc, qd, qf) in enumerate(
+            (
+                (0, 1, 0, 1, 0, 0),          # (v, u)
+                (1, 0, 0, 0, 1, h),          # (u, v) + (0, h)
+                (1, 0, h, 0, 1, h),          # (u, v) + (h, h)
+                (0, -1, 2 * h - 1, -1, 0, h - 1),  # (h-1-v, h-1-u) + (h, 0)
+            )
+        ):
+            cm = (
+                a * qa + b * qc,
+                a * qb + b * qd,
+                a * qe + b * qf + e,
+                c * qa + d * qc,
+                c * qb + d * qd,
+                c * qe + d * qf + f,
+            )
+            walk(d0 + q * h * h, h, cm, budget)
+
+    walk(0, n, (1, 0, 0, 0, 1, 0), [max(int(max_ranges), 1) * 4])
+    out.sort()
+    merged = [list(out[0])]
+    for lo, hi in out[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    # enforce the predicate-size contract exactly: bridge the SMALLEST
+    # inter-interval gaps (conservative over-cover) until <= max_ranges
+    if len(merged) > max_ranges:
+        gaps = sorted(
+            range(1, len(merged)),
+            key=lambda i: merged[i][0] - merged[i - 1][1],
+        )
+        bridge = set(gaps[: len(merged) - max_ranges])
+        fused: list[list[int]] = []
+        for i, (lo, hi) in enumerate(merged):
+            if i in bridge:
+                fused[-1][1] = hi
+            else:
+                fused.append([lo, hi])
+        merged = fused
+    return [(lo, hi) for lo, hi in merged]
+
+
+def hilbert_range_filter(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    order: int,
+    curve_col: str = "hilbert",
+    max_ranges: int = 64,
+) -> Column:
+    """Pushdown-able scan predicate over a stored Hilbert column: OR of
+    BETWEENs from :func:`hilbert_ranges_for_bbox` — parquet footer
+    min/max prunes row groups on a cluster_by_hilbert layout (same
+    contract as zorder.zrange_filter / s2_range_filter /
+    quadkey_range_filter; conservative — refine on raw coords)."""
+    ranges = hilbert_ranges_for_bbox(x_lo, x_hi, y_lo, y_hi, order, max_ranges)
+    col = F.col(curve_col)
+    pred = col.between(ranges[0][0], ranges[0][1])
+    for lo, hi in ranges[1:]:
+        pred = pred | col.between(lo, hi)
+    return pred

@@ -128,3 +128,84 @@ def test_spark_projection_matches_numpy(spark):
     spans = sorted((min(v), max(v)) for v in by_part.values())
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_hilbert_ranges_exact_and_capped():
+    """Unbounded descent gives the EXACT curve cover of a bbox; the
+    capped form is a superset and respects max_ranges exactly."""
+    from fairy_core_spark.spatial.hilbert import hilbert_ranges_for_bbox
+
+    rng = np.random.default_rng(41)
+    o, n = 6, 64
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    fx, fy = gx.ravel(), gy.ravel()
+    dall = xy2d(fx, fy, o)
+    for _ in range(60):
+        x0, x1 = sorted(int(v) for v in rng.integers(0, n, 2))
+        y0, y1 = sorted(int(v) for v in rng.integers(0, n, 2))
+        inside = (fx >= x0) & (fx <= x1) & (fy >= y0) & (fy <= y1)
+        exact = hilbert_ranges_for_bbox(x0, x1, y0, y1, o, max_ranges=10**9)
+        member = np.zeros(n * n, bool)
+        for lo, hi in exact:
+            member |= (dall >= lo) & (dall <= hi)
+        assert (member == inside).all()
+        capped = hilbert_ranges_for_bbox(x0, x1, y0, y1, o, max_ranges=6)
+        assert len(capped) <= 6
+        member_c = np.zeros(n * n, bool)
+        for lo, hi in capped:
+            member_c |= (dall >= lo) & (dall <= hi)
+        assert (member_c | ~inside).all()  # conservative
+    with pytest.raises(ValueError, match="bbox"):
+        hilbert_ranges_for_bbox(5, 4, 0, 0, 6)
+
+
+def test_hilbert_fewer_fragments_than_zorder():
+    """The locality claim, quantified: over a battery of random bboxes on
+    the same tile grid, the Hilbert curve cover needs FEWER total
+    fragments than the Morton cover (runs of consecutive codes inside
+    the box)."""
+    from fairy_core_spark.spatial.hilbert import hilbert_ranges_for_bbox
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        return (v | (v << 1)) & 0x55555555
+
+    rng = np.random.default_rng(43)
+    o, n = 6, 64
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    fx, fy = gx.ravel(), gy.ravel()
+    morton = (spread(fx.astype(np.int64)) << 1) | spread(fy.astype(np.int64))
+    h_total = z_total = 0
+    for _ in range(100):
+        x0, x1 = sorted(int(v) for v in rng.integers(0, n, 2))
+        y0, y1 = sorted(int(v) for v in rng.integers(0, n, 2))
+        inside = (fx >= x0) & (fx <= x1) & (fy >= y0) & (fy <= y1)
+        h_total += len(hilbert_ranges_for_bbox(x0, x1, y0, y1, o, max_ranges=10**9))
+        zc = np.sort(morton[inside])
+        z_total += 1 + int(np.count_nonzero(np.diff(zc) > 1))
+    assert h_total < z_total, (h_total, z_total)
+
+
+def test_hilbert_range_filter_predicate(spark):
+    """The OR-of-BETWEENs predicate keeps exactly the bbox tiles on a
+    stored-hilbert frame (exact descent) and is conservative when
+    capped."""
+    from fairy_core_spark.spatial.hilbert import hilbert_range_filter
+
+    o, n = 5, 32
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    fx, fy = gx.ravel(), gy.ravel()
+    d = xy2d(fx, fy, o)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(fx, fy, d)],
+        "tile_x long, tile_y long, hilbert long",
+    )
+    kept = df.where(hilbert_range_filter(4, 11, 7, 20, o, max_ranges=10**9))
+    got = {(r["tile_x"], r["tile_y"]) for r in kept.collect()}
+    want = {(x, y) for x, y in zip(fx, fy) if 4 <= x <= 11 and 7 <= y <= 20}
+    assert got == want
+    capped = df.where(hilbert_range_filter(4, 11, 7, 20, o, max_ranges=3))
+    got_c = {(r["tile_x"], r["tile_y"]) for r in capped.collect()}
+    assert want <= got_c
