@@ -320,3 +320,138 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+class VersionedParquetDirCatalog(IcebergLikeCatalog):
+    """IcebergLikeCatalog plus the snapshot LOG — time travel and
+    rollback, the remaining Iceberg table-semantics pieces a pipeline
+    consumer can exercise in-sandbox (reference has no table format at
+    all; Iceberg spec's snapshot log is the public model).
+
+    Layout per table: each commit writes an immutable ``data-v<seq>/``
+    directory and appends ``{seq, snapshot_id, dir, rows, partition_by}``
+    to ``_snapshot_log.json``; ``_snapshot.json`` always mirrors the
+    CURRENT entry, so every base-class consumer (PipelineRunner resume,
+    row_count, maintenance manifests) works unchanged.
+
+    - ``read(spark, name, snapshot_id=...)`` — time travel to any logged
+      snapshot (Iceberg ``VERSION AS OF``).
+    - ``rollback(name, snapshot_id)`` — a NEW commit whose data dir is
+      the old snapshot's (Iceberg rollback keeps history immutable and
+      appends; it never deletes the intermediate snapshots).
+    - ``history(name)`` — the log, oldest first.
+
+    Old ``data-v*`` dirs are never rewritten — a reader holding snapshot
+    N is immune to a concurrent commit N+1 (the snapshot-isolation
+    property object-store tables get from immutable files)."""
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_snapshot_log.json")
+
+    def history(self, name: str) -> list[dict]:
+        if not os.path.exists(self._log_path(name)):
+            return []
+        with open(self._log_path(name)) as f:
+            return json.load(f)
+
+    def _append_commit(self, name: str, entry: dict) -> dict:
+        log = self.history(name)
+        log.append(entry)
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        with open(self._log_path(name), "w") as f:
+            json.dump(log, f, sort_keys=True, indent=2)
+        snap = {
+            "table": name,
+            "snapshot_id": entry["snapshot_id"],
+            "partition_by": entry["partition_by"],
+            "rows": entry["rows"],
+        }
+        with open(os.path.join(d, "_snapshot.json"), "w") as f:
+            json.dump(snap, f, sort_keys=True, indent=2)
+        return snap
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        if mode != "overwrite":
+            raise ValueError(
+                "VersionedParquetDirCatalog commits are whole-table snapshots; "
+                f"mode must be 'overwrite', got {mode!r}"
+            )
+        seq = len(self.history(name))
+        rel = f"data-v{seq}"
+        data_dir = os.path.join(self._dir(name), rel)
+        w = df.write.mode("error")  # version dirs are immutable by contract
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        return self._append_commit(
+            name,
+            {
+                "seq": seq,
+                "snapshot_id": f"commit-{seq}",
+                "dir": rel,
+                "partition_by": partition_by or [],
+                "rows": parquet_row_count(data_dir),
+            },
+        )
+
+    def _entry(self, name: str, snapshot_id: str | None) -> dict:
+        log = self.history(name)
+        if not log:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        if snapshot_id is None:
+            return log[-1]
+        for e in reversed(log):
+            if e["snapshot_id"] == snapshot_id:
+                return e
+        known = [e["snapshot_id"] for e in log]
+        raise KeyError(f"snapshot {snapshot_id!r} not in log for {name!r}: {known}")
+
+    def read(
+        self, spark: SparkSession, name: str, snapshot_id: str | None = None
+    ) -> DataFrame:
+        e = self._entry(name, snapshot_id)
+        return spark.read.parquet(os.path.join(self._dir(name), e["dir"]))
+
+    def rollback(self, name: str, snapshot_id: str) -> dict:
+        """Append a NEW commit pointing at ``snapshot_id``'s immutable data
+        dir; history between is preserved (auditable), current state
+        becomes the old data."""
+        old = self._entry(name, snapshot_id)
+        seq = len(self.history(name))
+        return self._append_commit(
+            name,
+            {
+                "seq": seq,
+                "snapshot_id": f"commit-{seq}",
+                "dir": old["dir"],
+                "partition_by": old["partition_by"],
+                "rows": old["rows"],
+                "rolled_back_to": snapshot_id,
+            },
+        )
+
+    def exists(self, name: str) -> bool:
+        return bool(self.history(name))
+
+    def files(self, name: str, snapshot_id: str | None = None) -> list[dict]:
+        """File manifest of a snapshot (current by default) — paths
+        relative to that snapshot's data dir, same shape the maintenance
+        planners consume."""
+        e = self._entry(name, snapshot_id)
+        data_dir = os.path.join(self._dir(name), e["dir"])
+        out = []
+        for root, _dirs, fns in os.walk(data_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out.append(
+                        {"path": os.path.relpath(p, data_dir), "bytes": os.path.getsize(p)}
+                    )
+        return sorted(out, key=lambda r: r["path"])
