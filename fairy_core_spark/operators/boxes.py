@@ -1,0 +1,168 @@
+"""Bounding-box operators for detection-label pipelines.
+
+A 10^12-image training corpus with object-detection labels carries many
+boxes per image, and the standard curation steps — duplicate-annotation
+removal, label-merge across annotation sources — reduce to the same
+shape as the text/image dedup families: pair detection, connected
+components, quality-ranked disposition. This module implements that
+family over integer pixel boxes with EXACT integer IoU arithmetic
+(no floats anywhere), so results are bit-identical across engines and
+partitionings.
+
+Box convention: half-open integer rectangles ``[x0, x1) x [y0, y1)``
+with ``x1 > x0`` and ``y1 > y0`` (pixel coordinates). Intersection /
+union / IoU are exact int64; an IoU threshold is the rational
+``num/den`` and the comparison ``inter * den >= num * union`` never
+divides.
+
+Reference lineage: the keep/drop disposition mirrors fairy-core's
+keep-first duplicate semantics (reference
+src/fairy/validation/rulepack_runner.py:392-421) upgraded to
+quality-aware keeper choice, exactly like
+:func:`fairy_core_spark.operators.dedup.phash_dup_keeper` does for
+whole images.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["iou_pair_edges", "iou_dedup_groups"]
+
+_COORDS = ("x0", "y0", "x1", "y1")
+
+
+def _area(prefix: str) -> Column:
+    return (F.col(f"{prefix}.x1") - F.col(f"{prefix}.x0")) * (
+        F.col(f"{prefix}.y1") - F.col(f"{prefix}.y0")
+    )
+
+
+def iou_pair_edges(
+    boxes: DataFrame,
+    *,
+    id_col: str = "box_id",
+    image_col: str = "image_id",
+    iou_num: int = 1,
+    iou_den: int = 2,
+    max_boxes_per_image: int = 1024,
+) -> DataFrame:
+    """Pairs of boxes in the SAME image with IoU >= iou_num/iou_den.
+
+    Returns ``(id_a, id_b)`` with ``id_a < id_b`` — the edge list the
+    dedup family's connected components consume.
+
+    Plan (the 100 TB story): the candidate join is an equi-join on
+    ``image_col`` — boxes only ever pair within their image, so the
+    shuffle key is the image id and the join is linear in images, never
+    all-pairs across the corpus. Per-image width is bounded by
+    construction of detector output (hundreds of boxes), and
+    ``max_boxes_per_image`` is the EXPLICIT hot-key guard (same
+    contract as trajectory.colocation_pairs): images wider than the cap
+    are excluded from pairing entirely — deterministic and disclosed,
+    not a quadratic blow-up hoped away. IoU is exact integer math in
+    whole-stage codegen; no Python, no floats.
+
+    IoU threshold semantics: ``inter > 0 AND inter * den >= num *
+    union`` over int64. Callers must keep ``den * area`` within int64
+    (pixel coords up to ~10^6 with den <= 100 are safe).
+    """
+    if iou_num <= 0 or iou_den <= 0:
+        raise ValueError("iou threshold must be a positive rational num/den")
+    cols = [id_col, image_col, *_COORDS]
+    b = boxes.select(*cols)
+    if max_boxes_per_image is not None:
+        w = Window.partitionBy(image_col)
+        b = (
+            b.withColumn("_n_img", F.count(F.lit(1)).over(w))
+            .where(F.col("_n_img") <= F.lit(max_boxes_per_image))
+            .drop("_n_img")
+        )
+    a = b.alias("a")
+    c = b.alias("b")
+    inter_w = F.least(F.col("a.x1"), F.col("b.x1")) - F.greatest(
+        F.col("a.x0"), F.col("b.x0")
+    )
+    inter_h = F.least(F.col("a.y1"), F.col("b.y1")) - F.greatest(
+        F.col("a.y0"), F.col("b.y0")
+    )
+    inter = inter_w * inter_h
+    union = _area("a") + _area("b") - inter
+    return (
+        a.join(
+            c,
+            (F.col(f"a.{image_col}") == F.col(f"b.{image_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            (inter_w > 0)
+            & (inter_h > 0)
+            & (inter * F.lit(iou_den) >= F.lit(iou_num) * union)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+
+
+def iou_dedup_groups(
+    boxes: DataFrame,
+    *,
+    id_col: str = "box_id",
+    image_col: str = "image_id",
+    iou_num: int = 1,
+    iou_den: int = 2,
+    max_boxes_per_image: int = 1024,
+) -> DataFrame:
+    """Duplicate-annotation disposition for detection labels.
+
+    Within each connected component of the IoU>=threshold pair graph
+    (per image), KEEP the largest-area box (ties broken by min id),
+    DROP the rest — the label-merge step after unioning annotation
+    sources, and the geometric twin of
+    :func:`~fairy_core_spark.operators.dedup.phash_dup_keeper`.
+
+    Output: one row per box in a duplicate group —
+    ``(box_id, image_id, group_id, keeper_id, is_keeper)`` with
+    ``group_id`` = min box id in the component and ``is_keeper`` an
+    integer 0/1. Singletons are absent by design; the drop list is
+    ``is_keeper = 0``.
+
+    Plan: edges from the image-keyed equi-join (one shuffle on image
+    id), components from pointer-jumping min-label propagation (state =
+    two ids per node), keeper pick = one row_number window plus a
+    keeper-id window sharing the SAME group_id exchange. The wire
+    carries ids and four ints per box; pixels never appear.
+    """
+    from fairy_core_spark.operators.dedup import connected_components
+
+    pairs = iou_pair_edges(
+        boxes,
+        id_col=id_col,
+        image_col=image_col,
+        iou_num=iou_num,
+        iou_den=iou_den,
+        max_boxes_per_image=max_boxes_per_image,
+    )
+    members = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    ranked = members.join(
+        boxes.select(id_col, image_col, area.cast("long").alias("_px")), id_col
+    )
+    by_group = Window.partitionBy("group_id")
+    order = by_group.orderBy(F.col("_px").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("rk", F.row_number().over(order))
+        .withColumn(
+            "keeper_id",
+            F.max(F.when(F.col("rk") == 1, F.col(id_col))).over(by_group),
+        )
+        .select(
+            id_col,
+            image_col,
+            "group_id",
+            "keeper_id",
+            (F.col("rk") == 1).cast("long").alias("is_keeper"),
+        )
+    )

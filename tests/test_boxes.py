@@ -1,0 +1,121 @@
+"""Detection-box IoU dedup tests: exact pair set vs an O(n^2) integer
+brute force on random boxes, threshold boundary exactness, the hot-image
+cap, and keeper disposition determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fairy_core_spark.operators.boxes import iou_dedup_groups, iou_pair_edges
+
+SCHEMA = "box_id long, image_id long, x0 long, y0 long, x1 long, y1 long"
+
+
+def _rand_boxes(rng, n_images, per_image):
+    rows = []
+    bid = 0
+    for img in range(n_images):
+        for _ in range(per_image):
+            x0 = int(rng.integers(0, 900))
+            y0 = int(rng.integers(0, 700))
+            w = int(rng.integers(8, 160))
+            h = int(rng.integers(8, 140))
+            rows.append((bid, img, x0, y0, x0 + w, y0 + h))
+            bid += 1
+    return rows
+
+
+def _brute_pairs(rows, num, den):
+    out = set()
+    for i, (ai, aimg, ax0, ay0, ax1, ay1) in enumerate(rows):
+        for bi, bimg, bx0, by0, bx1, by1 in rows[i + 1 :]:
+            if aimg != bimg:
+                continue
+            iw = min(ax1, bx1) - max(ax0, bx0)
+            ih = min(ay1, by1) - max(ay0, by0)
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+            if inter * den >= num * union:
+                out.add((min(ai, bi), max(ai, bi)))
+    return out
+
+
+def test_pairs_match_bruteforce(spark):
+    rng = np.random.default_rng(53)
+    rows = _rand_boxes(rng, 40, 12)
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r.id_a, r.id_b)
+        for r in iou_pair_edges(df, iou_num=3, iou_den=10).collect()
+    }
+    assert got == _brute_pairs(rows, 3, 10)
+    assert got  # non-vacuous: random boxes at IoU>=0.3 do produce pairs
+
+
+def test_threshold_boundary_is_exact(spark):
+    # inter=50, areas 100/100 -> union=150, IoU = 1/3 exactly.
+    rows = [
+        (0, 7, 0, 0, 10, 10),
+        (1, 7, 5, 0, 15, 10),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert iou_pair_edges(df, iou_num=1, iou_den=3).count() == 1
+    # one integer tighter than 1/3 -> excluded, no float smearing
+    assert iou_pair_edges(df, iou_num=51, iou_den=150).count() == 0
+
+
+def test_cross_image_boxes_never_pair(spark):
+    rows = [(0, 1, 0, 0, 10, 10), (1, 2, 0, 0, 10, 10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert iou_pair_edges(df, iou_num=1, iou_den=2).count() == 0
+
+
+def test_hot_image_cap_excludes_wide_images(spark):
+    rows = [(i, 5, 0, 0, 10, 10) for i in range(6)]  # 6 identical boxes
+    rows += [(10, 6, 0, 0, 10, 10), (11, 6, 1, 0, 11, 10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r.id_a, r.id_b)
+        for r in iou_pair_edges(
+            df, iou_num=1, iou_den=2, max_boxes_per_image=4
+        ).collect()
+    }
+    assert got == {(10, 11)}  # image 5 excluded by the cap, image 6 kept
+
+
+def test_keeper_is_largest_then_min_id(spark):
+    rows = [
+        (3, 1, 0, 0, 10, 10),     # area 100
+        (4, 1, 1, 0, 11, 10),     # area 100, overlaps 3 heavily
+        (5, 1, 0, 0, 12, 10),     # area 120 -> keeper
+        (9, 2, 0, 0, 10, 10),     # image 2: equal areas -> min id keeps
+        (8, 2, 0, 1, 10, 11),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r.box_id: (r.group_id, r.keeper_id, r.is_keeper)
+        for r in iou_dedup_groups(df, iou_num=1, iou_den=2).collect()
+    }
+    assert out == {
+        3: (3, 5, 0),
+        4: (3, 5, 0),
+        5: (3, 5, 1),
+        8: (8, 8, 1),
+        9: (8, 8, 0),
+    }
+
+
+def test_singletons_absent(spark):
+    rows = [(0, 1, 0, 0, 10, 10), (1, 1, 500, 500, 510, 510)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert iou_dedup_groups(df).count() == 0
+
+
+def test_invalid_threshold_rejected(spark):
+    df = spark.createDataFrame([(0, 1, 0, 0, 1, 1)], SCHEMA)
+    import pytest
+
+    with pytest.raises(ValueError):
+        iou_pair_edges(df, iou_num=0, iou_den=2)
