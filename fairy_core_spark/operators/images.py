@@ -344,3 +344,100 @@ def flag_low_information(
         .when(var < F.lit(int(var_numerator_per_px)), "low_variance")
     )
     return stats.withColumn("info_flag", flag)
+
+
+def ar_bucket_batches(
+    df: DataFrame,
+    *,
+    ratios: list[tuple[int, int]] | None = None,
+    batch_size: int = 16,
+    n_shards: int = 64,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    salt: str = "",
+) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic batch assignment — the
+    standard pre-training step for image models trained at multiple
+    aspect ratios: every image snaps to the nearest target ratio, then
+    images inside one bucket are packed into fixed-size batches so a
+    batch never mixes shapes. Incomplete trailing batches are dropped
+    (the usual convention; dropped mass is bounded by
+    buckets*shards*(batch_size-1)).
+
+    Nearest-ratio choice is EXACT integer math: for candidate ``n/d``
+    the distance to ``w/h`` is ``|w*d - n*h| / (h*d)``; multiplying by
+    the shared ``lcm(all d) / d`` puts every candidate over one common
+    denominator, so the argmin is an int64 comparison — no floats, no
+    cross-engine smearing. Ties go to the earliest ratio in the list.
+
+    Batch identity is content-stable and partition-invariant: shard =
+    md5(salt||id) % n_shards, rank within (bucket, shard) by ascending
+    md5 — the same engine-portable hash discipline as the sampling
+    family (operators/sampling.py). Batches form within (bucket,
+    shard), NOT globally per bucket: a global per-bucket rank would
+    funnel the corpus through len(ratios) window partitions, while the
+    sharded form keeps the one window shuffle uniformly spread (pick
+    n_shards ~ cluster parallelism; re-running with the same salt and
+    shard count reproduces every batch bit-for-bit on any layout).
+
+    Output: one row per image that landed in a complete batch —
+    ``(id, w, h, bucket, ratio_n, ratio_d, shard, rk, batch_id)`` with
+    ``bucket`` the ratio-list index and ``rk`` the 1-based rank inside
+    the (bucket, shard) stream.
+    """
+    from math import lcm
+
+    from pyspark.sql import Window
+
+    from fairy_core_spark.operators.sampling import _md5_60_col, _salted_key
+
+    if ratios is None:
+        ratios = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    common = lcm(*[d for _, d in ratios])
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    scores = [
+        (F.abs(w * F.lit(d) - F.lit(n) * h) * F.lit(common // d)).alias(f"_s{i}")
+        for i, (n, d) in enumerate(ratios)
+    ]
+    scored = df.select(F.col(id_col), w.alias(w_col), h.alias(h_col), *scores)
+    best = F.least(*[F.col(f"_s{i}") for i in range(len(ratios))])
+    bucket = F.lit(len(ratios) - 1)
+    for i in range(len(ratios) - 2, -1, -1):
+        bucket = F.when(F.col(f"_s{i}") == best, i).otherwise(bucket)
+    hashed = _md5_60_col(_salted_key(F.col(id_col), salt))
+    assigned = scored.select(
+        id_col,
+        w_col,
+        h_col,
+        bucket.cast("int").alias("bucket"),
+        (hashed % n_shards).cast("int").alias("shard"),
+        hashed.alias("_h"),
+    )
+    part = Window.partitionBy("bucket", "shard")
+    order = part.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    ratio_n = F.element_at(
+        F.array(*[F.lit(n) for n, _ in ratios]), F.col("bucket") + 1
+    )
+    ratio_d = F.element_at(
+        F.array(*[F.lit(d) for _, d in ratios]), F.col("bucket") + 1
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(order).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(part))
+        .where(F.col("rk") <= (F.col("_n") - F.col("_n") % batch_size))
+        .select(
+            id_col,
+            w_col,
+            h_col,
+            "bucket",
+            ratio_n.cast("long").alias("ratio_n"),
+            ratio_d.cast("long").alias("ratio_d"),
+            "shard",
+            "rk",
+            ((F.col("rk") - 1) / batch_size).cast("long").alias("batch_id"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Aspect-ratio bucket batching tests: exact nearest-ratio argmin vs a
+Fraction brute force, tie determinism, complete-batch invariants, and
+partition invariance of batch identity."""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from fairy_core_spark.operators.images import ar_bucket_batches
+
+RATIOS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]
+SCHEMA = "image_id string, w long, h long"
+
+
+def _brute_bucket(w, h, ratios=RATIOS):
+    target = Fraction(w, h)
+    best_i, best_d = 0, None
+    for i, (n, d) in enumerate(ratios):
+        dist = abs(target - Fraction(n, d))
+        if best_d is None or dist < best_d:
+            best_i, best_d = i, dist
+    return best_i
+
+
+def _md5_60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def _rand_rows(rng, n):
+    return [
+        (f"img{i:05d}", int(rng.integers(32, 1024)), int(rng.integers(32, 1024)))
+        for i in range(n)
+    ]
+
+
+def test_bucket_matches_fraction_bruteforce(spark):
+    rng = np.random.default_rng(19)
+    rows = _rand_rows(rng, 400)
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = ar_bucket_batches(df, batch_size=4, n_shards=4).collect()
+    assert out
+    for r in out:
+        assert r.bucket == _brute_bucket(r.w, r.h), (r.w, r.h)
+        assert (r.ratio_n, r.ratio_d) == RATIOS[r.bucket]
+
+
+def test_tie_goes_to_earliest_ratio(spark):
+    # w=h is distance 0 from 1:1 only; craft a genuine tie instead:
+    # ratios 2:1 and 1:2 with w/h = 1 -> |1-2|=1 vs |1-1/2|=1/2 not tie.
+    # Use ratios [(3,2),(2,3)] and w/h=1: |1-3/2|=1/2, |1-2/3|=1/3 -> no.
+    # True tie: ratios [(2,1),(1,1)] with w/h=3/2: |3/2-2|=1/2=|3/2-1|.
+    df = spark.createDataFrame([("a", 3, 2)], SCHEMA)
+    out = ar_bucket_batches(
+        df, ratios=[(2, 1), (1, 1)], batch_size=1, n_shards=1
+    ).collect()
+    assert out[0].bucket == 0  # earliest listed wins the exact tie
+
+
+def test_batches_are_complete_and_dense(spark):
+    rng = np.random.default_rng(23)
+    rows = _rand_rows(rng, 500)
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = ar_bucket_batches(df, batch_size=8, n_shards=4).collect()
+    groups: dict[tuple, list] = {}
+    for r in out:
+        groups.setdefault((r.bucket, r.shard), []).append(r)
+    for (b, s), members in groups.items():
+        assert len(members) % 8 == 0
+        batches: dict[int, int] = {}
+        for m in members:
+            batches[m.batch_id] = batches.get(m.batch_id, 0) + 1
+        assert set(batches) == set(range(len(members) // 8))
+        assert all(v == 8 for v in batches.values())
+
+
+def test_shard_and_rank_are_content_stable(spark):
+    rng = np.random.default_rng(29)
+    rows = _rand_rows(rng, 300)
+    df1 = spark.createDataFrame(rows, SCHEMA)
+    df2 = spark.createDataFrame(list(reversed(rows)), SCHEMA).repartition(13)
+    key = lambda recs: sorted((r.image_id, r.bucket, r.shard, r.rk, r.batch_id) for r in recs)
+    a = key(ar_bucket_batches(df1, batch_size=4, n_shards=8).collect())
+    b = key(ar_bucket_batches(df2, batch_size=4, n_shards=8).collect())
+    assert a == b and a
+    # shard is the documented md5 bucket of the raw id
+    for iid, bucket, shard, rk, batch in a:
+        assert shard == _md5_60(iid) % 8
+
+
+def test_invalid_params_rejected(spark):
+    df = spark.createDataFrame([("a", 10, 10)], SCHEMA)
+    with pytest.raises(ValueError):
+        ar_bucket_batches(df, batch_size=0)
+    with pytest.raises(ValueError):
+        ar_bucket_batches(df, n_shards=0)
