@@ -1169,3 +1169,100 @@ def idw_fill(
             F.round(F.col("idw_num") / F.col("idw_den"), 6).alias("idw_value"),
         )
     )
+
+
+def morans_i(
+    tiled: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Global Moran's I over an occupied square tiling (Moran 1950,
+    binary queen adjacency) — the one-number answer to "is activity
+    spatially clustered, dispersed, or random", the global complement
+    of the per-cell Gi* :func:`hotspot_cells`.
+
+    Input: one row per point already carrying integer tile coordinates
+    (``x_col``, ``y_col``; e.g. webmercator.with_tiles output). The
+    statistic is computed over the OCCUPIED-cell population with
+    w_ij = 1 for queen-adjacent (8-neighbor) occupied cells:
+
+        I = (N / W) * sum_ij w_ij (x_i - mu)(x_j - mu) / sum_i (x_i - mu)^2
+
+    Everything that decides the value is EXACT int64: deviations are
+    pre-scaled by N (d_i = N*x_i - total, so mu never divides),
+    ``num`` = sum of d_i*d_j over directed adjacent pairs, ``den`` =
+    sum d_i^2, and I = (N*num) / (W*den) as the single final float
+    division. Output is ONE row: ``(n_cells, total, w_pairs, num, den,
+    morans_i)`` with ``morans_i`` NULL when there is no adjacency or no
+    variance. Int64 range: N * max-cell-count must stay below ~3e9 so
+    the d_i*d_j products fit — holds for any practical tiling zoom
+    (coarsen the zoom, not the dataset).
+
+    Plan (the 100 TB story): points collapse to the occupied-cell frame
+    in one map-side-combined groupBy; the global moments are a 1-row
+    aggregate broadcast back; adjacency is a zero-Python codegen
+    explode of 8 offsets over the cell frame joined back on the int
+    tile key (8 edges/cell, linear); the pair products reduce in one
+    final 1-row aggregate. No driver collect, nothing quadratic.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    counts = tiled.groupBy(x.alias("_cx"), y.alias("_cy")).agg(
+        mass_col(weight_col).cast("long").alias("_n")
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("_n").alias("total")
+    )
+    dev = counts.crossJoin(F.broadcast(glob)).select(
+        "_cx",
+        "_cy",
+        "n_cells",
+        "total",
+        (F.col("n_cells") * F.col("_n") - F.col("total")).alias("_d"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    probes = dev.select(
+        "_cx", "_cy", "_d", F.explode(offs).alias("_o")
+    ).select(
+        (F.col("_cx") + F.col("_o.dx")).alias("_nx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_ny"),
+        F.col("_d").alias("_da"),
+    )
+    pair_agg = (
+        probes.join(
+            dev.select(
+                F.col("_cx").alias("_nx"),
+                F.col("_cy").alias("_ny"),
+                F.col("_d").alias("_db"),
+            ),
+            ["_nx", "_ny"],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("w_pairs"),
+            F.coalesce(F.sum(F.col("_da") * F.col("_db")), F.lit(0)).alias("num"),
+        )
+    )
+    den_agg = dev.agg(
+        F.first("n_cells").alias("n_cells"),
+        F.first("total").alias("total"),
+        F.sum(F.col("_d") * F.col("_d")).alias("den"),
+    )
+    n, w, num, den = (F.col(c) for c in ("n_cells", "w_pairs", "num", "den"))
+    return den_agg.crossJoin(F.broadcast(pair_agg)).select(
+        n,
+        F.col("total"),
+        w,
+        num,
+        den,
+        F.when(
+            (w > 0) & (den > 0), (n * num).cast("double") / (w * den)
+        ).alias("morans_i"),
+    )
