@@ -404,3 +404,70 @@ def token_rarity(
             F.min("__freq").alias("min_token_freq"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by an integer-exact
+    tf-idf ordering — the keyword-extraction / topic-tagging staple of
+    corpus curation (cluster labeling, dedup explanation, search-index
+    seeding).
+
+    The ranking key is ``score = (tf * scale * N) div doc_freq`` —
+    tf times a quantized linear idf. Linear ``N/df`` orders terms the
+    same way as log idf does *per fixed tf* and keeps every value
+    int64-exact, so rankings never smear across engines; ``scale``
+    controls the idf quantization (ties inside one quantum fall back to
+    the deterministic ``term ASC`` order). Int64 bound: ``tf * scale *
+    N`` must fit — at web scale pass a smaller ``scale`` (the ordering
+    only needs N/df resolution, not 6 digits).
+
+    Output: ``(id, term, tf, doc_freq, score, rk)`` with ``rk`` the
+    1-based rank inside the document, ``rk <= k``.
+
+    Plan (the 100 TB story): explode -> one (doc, term) map-side
+    combined groupBy; doc_freq = one groupBy over that frame (carries
+    (term, count) only); the join back is vocab-sized (AQE broadcasts
+    when small); the final rank window partitions by document, so the
+    top-k limit plans as WindowGroupLimit — partial top-k before the
+    exchange. Document text never shuffles; the wire carries terms and
+    ints.
+    """
+    if k <= 0 or scale <= 0:
+        raise ValueError("k and scale must be positive")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doc_freq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            F.expr(f"(tf * CAST({scale} AS BIGINT) * _nd) div doc_freq").alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= k
+    )
