@@ -272,3 +272,119 @@ def colocation_pairs(
     if min_shared > 1:
         out = out.where(F.col("n_shared") >= min_shared)
     return out
+
+
+def _dp_keep_mask(x, y, tol):
+    """Iterative Douglas-Peucker keep-mask over local-meter coords.
+
+    Uses point-to-SEGMENT distance (t clamped to [0,1]) — the robust
+    variant: degenerate closed loops (equal endpoints) fall back to
+    point distance instead of dividing by a zero-length line.
+    """
+    import numpy as np
+
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg2 = dx * dx + dy * dy
+        xs, ys = x[i + 1 : j], y[i + 1 : j]
+        if seg2 == 0.0:
+            d2 = (xs - x[i]) ** 2 + (ys - y[i]) ** 2
+        else:
+            t = ((xs - x[i]) * dx + (ys - y[i]) * dy) / seg2
+            t = np.clip(t, 0.0, 1.0)
+            d2 = (xs - (x[i] + t * dx)) ** 2 + (ys - (y[i] + t * dy)) ** 2
+        m = int(d2.argmax())
+        if d2[m] > tol2:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_paths(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tolerance_m: float = 50.0,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Per-entity trajectory simplification (Douglas & Peucker 1973) —
+    the standard polyline-compression step before storing or rendering
+    GPS tracks: drop every point that lies within ``tolerance_m`` of
+    the simplified path, keep the geometry.
+
+    Geometry: points project to a local equirectangular meter frame per
+    trajectory (y = R*dlat, x = R*dlon*cos(lat0) around the first
+    point) — exact enough for the city-to-country track lengths this is
+    for; perpendicular distance is to the SEGMENT (clamped), so closed
+    loops and spikes behave. Ordering inside an entity is
+    (order_col, lat, lon) — fully deterministic under timestamp ties.
+
+    Contract: first and last points are always kept; every dropped
+    point is within ``tolerance_m`` of the kept polyline; output is
+    ``(entity, order, lat, lon, seq)`` with ``seq`` the 0-based index
+    along the simplified path. tolerance_m <= 0 keeps everything.
+
+    Plan (the 100 TB story): one shuffle groups each entity's points
+    (``applyInPandas`` — the recursion is data-dependent, genuinely not
+    expressible in Column algebra; Arrow-batched, no per-row Python).
+    Entities are independent, so parallelism = entity count. A
+    pathological entity wider than ``max_points`` is processed in
+    consecutive chunks with shared endpoints — bounded executor memory,
+    still deterministic, and the tolerance bound still holds (chunk
+    boundaries are always kept; the kept SET may differ from the
+    unchunked run's because the recursion anchors differ, but every
+    dropped point stays within tolerance of the kept polyline).
+    Pre-bucket by (entity, day) upstream when single entities run to
+    millions of points.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if max_points < 2:
+        raise ValueError("max_points must be >= 2")
+    ent_field = df.schema[entity_col]
+    ord_field = df.schema[order_col]
+    out_schema = (
+        f"`{entity_col}` {ent_field.dataType.simpleString()}, "
+        f"`{order_col}` {ord_field.dataType.simpleString()}, "
+        f"`{lat_col}` double, `{lon_col}` double, seq long"
+    )
+    R = 6_371_008.8
+    tol = float(tolerance_m)
+
+    def _simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col, lat_col, lon_col], kind="mergesort")
+        lat = pdf[lat_col].to_numpy(dtype="float64")
+        lon = pdf[lon_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        if n <= 2 or tol <= 0:
+            keep = np.ones(n, dtype=bool)
+        else:
+            lat0 = lat[0]
+            y = np.radians(lat - lat0) * R
+            x = np.radians(lon - lon[0]) * (R * math.cos(math.radians(lat0)))
+            keep = np.zeros(n, dtype=bool)
+            for lo in range(0, n - 1, max_points - 1):
+                hi = min(lo + max_points - 1, n - 1)
+                keep[lo : hi + 1] |= _dp_keep_mask(
+                    x[lo : hi + 1], y[lo : hi + 1], tol
+                )
+        out = pdf.loc[keep, [entity_col, order_col, lat_col, lon_col]].copy()
+        out["seq"] = np.arange(int(keep.sum()), dtype="int64")
+        return out
+
+    return df.select(entity_col, order_col, lat_col, lon_col).groupBy(
+        entity_col
+    ).applyInPandas(_simplify, out_schema)
