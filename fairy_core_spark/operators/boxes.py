@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["iou_pair_edges", "iou_dedup_groups"]
+__all__ = ["iou_pair_edges", "iou_dedup_groups", "nms_boxes"]
 
 _COORDS = ("x0", "y0", "x1", "y1")
 
@@ -165,4 +165,84 @@ def iou_dedup_groups(
             "keeper_id",
             (F.col("rk") == 1).cast("long").alias("is_keeper"),
         )
+    )
+
+
+def nms_boxes(
+    boxes: DataFrame,
+    *,
+    id_col: str = "box_id",
+    image_col: str = "image_id",
+    score_col: str = "score",
+    iou_num: int = 1,
+    iou_den: int = 2,
+    max_boxes_per_image: int = 4096,
+) -> DataFrame:
+    """Non-maximum suppression — the standard post-detector cleanup:
+    within each image, walk boxes in descending score order and drop
+    any box whose IoU with an already-kept box meets the threshold.
+
+    Greedy order is fully deterministic: (score DESC, id ASC) — equal
+    scores never flap across partitionings or engines. The IoU test is
+    the same exact-integer comparison as :func:`iou_pair_edges`
+    (``inter * den >= num * union``, int64, never divides), evaluated
+    in numpy inside the per-image batch.
+
+    Output: the KEPT boxes only — ``(box_id, image_id, score, keep_rank)``
+    with ``keep_rank`` the 1-based order in which the box was accepted.
+
+    Plan (the 100 TB story): greediness is inherently sequential per
+    image, so this is a grouped-map ``applyInPandas`` keyed on the image
+    id — one shuffle, Arrow-batched, images independent (parallelism =
+    image count), and the per-image loop is O(n_kept * n) vectorized
+    suppression, never cross-image. ``max_boxes_per_image`` bounds the
+    worst case: wider images keep only their ``max_boxes_per_image``
+    highest-score boxes as NMS input (detector outputs are bounded in
+    practice; the truncation is deterministic and disclosed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if iou_num <= 0 or iou_den <= 0:
+        raise ValueError("iou threshold must be a positive rational num/den")
+    if max_boxes_per_image < 1:
+        raise ValueError("max_boxes_per_image must be >= 1")
+    ent = boxes.schema[image_col].dataType.simpleString()
+    idt = boxes.schema[id_col].dataType.simpleString()
+    sct = boxes.schema[score_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {idt}, `{image_col}` {ent}, `{score_col}` {sct}, "
+        "keep_rank long"
+    )
+    num, den, cap = int(iou_num), int(iou_den), int(max_boxes_per_image)
+
+    def _nms(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        ).head(cap)
+        x0 = pdf["x0"].to_numpy(dtype="int64")
+        y0 = pdf["y0"].to_numpy(dtype="int64")
+        x1 = pdf["x1"].to_numpy(dtype="int64")
+        y1 = pdf["y1"].to_numpy(dtype="int64")
+        area = (x1 - x0) * (y1 - y0)
+        n = len(pdf)
+        kept: list[int] = []
+        for i in range(n):
+            if kept:
+                k = np.asarray(kept)
+                iw = np.minimum(x1[k], x1[i]) - np.maximum(x0[k], x0[i])
+                ih = np.minimum(y1[k], y1[i]) - np.maximum(y0[k], y0[i])
+                inter = np.where((iw > 0) & (ih > 0), iw * ih, 0)
+                union = area[k] + area[i] - inter
+                if bool(((inter > 0) & (inter * den >= num * union)).any()):
+                    continue
+            kept.append(i)
+        out = pdf.iloc[kept][[id_col, image_col, score_col]].copy()
+        out["keep_rank"] = np.arange(1, len(kept) + 1, dtype="int64")
+        return out
+
+    return (
+        boxes.select(id_col, image_col, score_col, "x0", "y0", "x1", "y1")
+        .groupBy(image_col)
+        .applyInPandas(_nms, out_schema)
     )

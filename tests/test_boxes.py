@@ -5,6 +5,7 @@ cap, and keeper disposition determinism."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from fairy_core_spark.operators.boxes import iou_dedup_groups, iou_pair_edges
 
@@ -119,3 +120,98 @@ def test_invalid_threshold_rejected(spark):
 
     with pytest.raises(ValueError):
         iou_pair_edges(df, iou_num=0, iou_den=2)
+
+
+# ---------------------------------------------------------------- NMS
+
+NMS_SCHEMA = (
+    "box_id long, image_id long, score long, x0 long, y0 long, x1 long, y1 long"
+)
+
+
+def _brute_nms(rows, num, den, cap=4096):
+    by_img: dict[int, list] = {}
+    for r in rows:
+        by_img.setdefault(r[1], []).append(r)
+    out = []
+    for img, boxes in by_img.items():
+        boxes = sorted(boxes, key=lambda r: (-r[2], r[0]))[:cap]
+        kept = []
+        for b in boxes:
+            ok = True
+            for k in kept:
+                iw = min(b[5], k[5]) - max(b[3], k[3])
+                ih = min(b[6], k[6]) - max(b[4], k[4])
+                if iw > 0 and ih > 0:
+                    inter = iw * ih
+                    union = ((b[5] - b[3]) * (b[6] - b[4])
+                             + (k[5] - k[3]) * (k[6] - k[4]) - inter)
+                    if inter * den >= num * union:
+                        ok = False
+                        break
+            if ok:
+                kept.append(b)
+        out += [(k[0], img, k[2], i + 1) for i, k in enumerate(kept)]
+    return sorted(out)
+
+
+def _rand_scored_boxes(rng, n_images, per_image):
+    rows = []
+    bid = 0
+    for img in range(n_images):
+        for _ in range(per_image):
+            x0 = int(rng.integers(0, 400))
+            y0 = int(rng.integers(0, 300))
+            rows.append((bid, img, int(rng.integers(0, 50)), x0, y0,
+                         x0 + int(rng.integers(20, 120)),
+                         y0 + int(rng.integers(20, 100))))
+            bid += 1
+    return rows
+
+
+def test_nms_matches_bruteforce(spark):
+    from fairy_core_spark.operators.boxes import nms_boxes
+
+    rng = np.random.default_rng(61)
+    rows = _rand_scored_boxes(rng, 30, 15)
+    got = sorted(
+        (r.box_id, r.image_id, r.score, r.keep_rank)
+        for r in nms_boxes(
+            spark.createDataFrame(rows, NMS_SCHEMA), iou_num=3, iou_den=10
+        ).collect()
+    )
+    assert got == _brute_nms(rows, 3, 10)
+    # non-vacuous: suppression actually happened somewhere
+    assert len(got) < len(rows)
+
+
+def test_nms_equal_scores_break_by_id(spark):
+    from fairy_core_spark.operators.boxes import nms_boxes
+
+    rows = [  # identical overlapping boxes, equal score -> min id survives
+        (7, 1, 10, 0, 0, 20, 20),
+        (3, 1, 10, 1, 1, 21, 21),
+    ]
+    out = nms_boxes(spark.createDataFrame(rows, NMS_SCHEMA)).collect()
+    assert [(r.box_id, r.keep_rank) for r in out] == [(3, 1)]
+
+
+def test_nms_cap_truncates_lowest_scores(spark):
+    from fairy_core_spark.operators.boxes import nms_boxes
+
+    # disjoint boxes, scores 0..9; cap=4 keeps the 4 best only
+    rows = [(i, 1, i, i * 100, 0, i * 100 + 10, 10) for i in range(10)]
+    out = nms_boxes(
+        spark.createDataFrame(rows, NMS_SCHEMA), max_boxes_per_image=4
+    ).collect()
+    assert sorted(r.box_id for r in out) == [6, 7, 8, 9]
+
+
+def test_nms_invalid_params(spark):
+    from fairy_core_spark.operators.boxes import nms_boxes
+
+    df = spark.createDataFrame([(0, 1, 1, 0, 0, 1, 1)], NMS_SCHEMA)
+    with pytest.raises(ValueError):
+        nms_boxes(df, iou_den=0)
+    with pytest.raises(ValueError):
+        nms_boxes(df, max_boxes_per_image=0)
