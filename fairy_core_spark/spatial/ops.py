@@ -1332,3 +1332,88 @@ def polygon_stats(
         F.when(a2 != 0, F.col("cx6").cast("double") / (3 * a2)).alias("centroid_x"),
         F.when(a2 != 0, F.col("cy6").cast("double") / (3 * a2)).alias("centroid_y"),
     )
+
+
+def convex_hulls(
+    points: DataFrame,
+    group_col: str = "group_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull (Andrew's monotone chain, 1979) — the
+    bounding-geometry summarizer: coverage footprint per entity /
+    cluster / tile-region, the vector complement of the per-group
+    centroid sums.
+
+    Input coordinates must be INTEGERS with |coord| < 2^30 (scaled
+    degrees/meters): every turn test is then an exact int64 cross
+    product — no epsilon, no float flap, bit-identical on any engine
+    or partitioning. Collinear boundary points are DROPPED (strict
+    turns only), so the hull is the minimal vertex set; degenerate
+    groups come out naturally (1 point -> 1 vertex, collinear set ->
+    its 2 extremes).
+
+    Output: ``(group, seq, x, y)`` — hull vertices in counter-clockwise
+    order, seq 0-based, starting from the lexicographically smallest
+    (x, y) vertex. Deterministic by construction.
+
+    Plan (the 100 TB story): one shuffle groups each entity's points
+    (``applyInPandas`` — the chain scan is sequential per group,
+    genuinely not Column algebra). Points are pre-deduplicated and
+    sorted with numpy; the chain walk is O(n) after the sort. Output is
+    hull-sized (tiny); input points never shuffle twice. Groups are
+    independent — parallelism = group count; pathological single groups
+    are bounded upstream by tiling (hull of a tile's points, then hull
+    of hulls: the operator composes associatively for that hierarchical
+    form).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gt = points.schema[group_col].dataType.simpleString()
+    out_schema = f"`{group_col}` {gt}, seq long, `{x_col}` long, `{y_col}` long"
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(
+            pdf[[x_col, y_col]].to_numpy(dtype="int64"), axis=0
+        )  # sorted lexicographically by (x, y), duplicates gone
+        if np.abs(pts).max(initial=0) >= (1 << 30):
+            raise ValueError("convex_hulls: |coordinate| must be < 2^30")
+        n = len(pts)
+        if n <= 2:
+            hull = pts
+        else:
+            def _chain(order):
+                out: list[int] = []
+                for i in order:
+                    while len(out) >= 2:
+                        ax, ay = pts[out[-2]]
+                        bx, by = pts[out[-1]]
+                        cross = (bx - ax) * (pts[i, 1] - ay) - (by - ay) * (
+                            pts[i, 0] - ax
+                        )
+                        if cross <= 0:  # clockwise or collinear: pop
+                            out.pop()
+                        else:
+                            break
+                    out.append(i)
+                return out
+
+            lower = _chain(range(n))
+            upper = _chain(range(n - 1, -1, -1))
+            hull = pts[lower[:-1] + upper[:-1]]
+        out = pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]] * len(hull),
+                "seq": np.arange(len(hull), dtype="int64"),
+                x_col: hull[:, 0],
+                y_col: hull[:, 1],
+            }
+        )
+        return out
+
+    return (
+        points.select(group_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(_hull, out_schema)
+    )
