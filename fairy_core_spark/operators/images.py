@@ -404,7 +404,8 @@ def ar_bucket_batches(
         for i, (n, d) in enumerate(ratios)
     ]
     scored = df.select(F.col(id_col), w.alias(w_col), h.alias(h_col), *scores)
-    best = F.least(*[F.col(f"_s{i}") for i in range(len(ratios))])
+    score_cols = [F.col(f"_s{i}") for i in range(len(ratios))]
+    best = F.least(*score_cols) if len(score_cols) >= 2 else score_cols[0]
     bucket = F.lit(len(ratios) - 1)
     for i in range(len(ratios) - 2, -1, -1):
         bucket = F.when(F.col(f"_s{i}") == best, i).otherwise(bucket)

@@ -1195,9 +1195,14 @@ def morans_i(
     sum d_i^2, and I = (N*num) / (W*den) as the single final float
     division. Output is ONE row: ``(n_cells, total, w_pairs, num, den,
     morans_i)`` with ``morans_i`` NULL when there is no adjacency or no
-    variance. Int64 range: N * max-cell-count must stay below ~3e9 so
-    the d_i*d_j products fit — holds for any practical tiling zoom
-    (coarsen the zoom, not the dataset).
+    variance; an EMPTY input yields (0, 0, 0, 0, 0, NULL). Int64 range
+    (the SUMS must fit, not just one product): with B = N * max-cell-
+    count, the worst case is n_cells*num <= 8*N^2*B^2, so keep the
+    max cell count below ~1e9 / N^2 — i.e. COARSEN THE ZOOM until the
+    occupied-cell count N is small relative to per-cell mass (at N=1024
+    occupied cells that allows ~10^3 points per cell; at N=64, ~2.6e5).
+    Spark's non-ANSI long sum wraps silently past the bound, so it is
+    the caller's contract, not a runtime check.
 
     Plan (the 100 TB story): points collapse to the occupied-cell frame
     in one map-side-combined groupBy; the global moments are a 1-row
@@ -1251,20 +1256,25 @@ def morans_i(
         )
     )
     den_agg = dev.agg(
-        F.first("n_cells").alias("n_cells"),
-        F.first("total").alias("total"),
-        F.sum(F.col("_d") * F.col("_d")).alias("den"),
+        F.coalesce(F.sum(F.col("_d") * F.col("_d")), F.lit(0)).alias("den")
     )
-    n, w, num, den = (F.col(c) for c in ("n_cells", "w_pairs", "num", "den"))
-    return den_agg.crossJoin(F.broadcast(pair_agg)).select(
-        n,
-        F.col("total"),
-        w,
-        num,
-        den,
-        F.when(
-            (w > 0) & (den > 0), (n * num).cast("double") / (w * den)
-        ).alias("morans_i"),
+    n = F.col("n_cells")
+    w, num, den = (F.col(c) for c in ("w_pairs", "num", "den"))
+    # n_cells/total come from glob (count 0 / sum NULL on empty input),
+    # so an empty tiling yields (0, 0, 0, 0, 0, NULL) instead of NULLs.
+    return (
+        glob.crossJoin(F.broadcast(den_agg))
+        .crossJoin(F.broadcast(pair_agg))
+        .select(
+            n,
+            F.coalesce(F.col("total"), F.lit(0)).alias("total"),
+            w,
+            num,
+            den,
+            F.when(
+                (w > 0) & (den > 0), (n * num).cast("double") / (w * den)
+            ).alias("morans_i"),
+        )
     )
 
 
@@ -1286,9 +1296,12 @@ def polygon_stats(
     engine-portable: ``area2`` = sum of cross products (twice the signed
     area), ``cx6``/``cy6`` = centroid numerators (6*A-scaled). The float
     centroid ``(cx6 / (3*area2), cy6 / (3*area2))`` is one final
-    division per axis. Int64 bound: |x|,|y| <= ~2e6 keeps the
-    (x_i+x_j)*cross terms within range for rings up to thousands of
-    vertices — scale accordingly.
+    division per axis. Int64 bound (the SUMS must fit, not one term):
+    each centroid term is |(x_i+x_j)*cross| <= 4*C^3 at |coord| <= C,
+    so a V-vertex ring needs 4*V*C^3 < 2^63 — |coord| <= ~1e5 (e.g.
+    centidegrees) is safe to V ~ 2*10^5 vertices; millidegree coords
+    (C ~ 4e5) are safe only to V ~ 30. Spark's non-ANSI long sum wraps
+    silently past the bound — scale coordinates down, not up.
 
     Plan: posexplode the ring, one window over (polygon) ordered by
     vertex position (lead + first_value closes the ring without a

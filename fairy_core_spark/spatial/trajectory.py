@@ -361,7 +361,7 @@ def simplify_paths(
         f"`{order_col}` {ord_field.dataType.simpleString()}, "
         f"`{lat_col}` double, `{lon_col}` double, seq long"
     )
-    R = 6_371_008.8
+    R = R_EARTH_M
     tol = float(tolerance_m)
 
     def _simplify(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -97,3 +97,9 @@ def test_invalid_params_rejected(spark):
         ar_bucket_batches(df, batch_size=0)
     with pytest.raises(ValueError):
         ar_bucket_batches(df, n_shards=0)
+
+
+def test_single_ratio_list(spark):
+    df = spark.createDataFrame([("a", 10, 20), ("b", 30, 10)], SCHEMA)
+    out = ar_bucket_batches(df, ratios=[(1, 1)], batch_size=1, n_shards=1).collect()
+    assert len(out) == 2 and all(r.bucket == 0 for r in out)

@@ -83,3 +83,10 @@ def test_weighted_counts(spark):
     row = morans_i(df, weight_col="m").collect()[0]
     pts = [(0, 0)] * 4 + [(0, 1)] * 4 + [(5, 5)]
     assert (row.n_cells, row.total, row.w_pairs, row.num, row.den) == _brute(pts)
+
+
+def test_empty_input_yields_zero_row(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    row = morans_i(df).collect()[0]
+    assert (row.n_cells, row.total, row.w_pairs, row.num, row.den) == (0, 0, 0, 0, 0)
+    assert row.morans_i is None
