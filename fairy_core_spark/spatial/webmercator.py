@@ -540,3 +540,59 @@ def rasterize_segments(
     return walked.unionByName(degenerate).dropDuplicates(
         [id_col, "tile_x", "tile_y"]
     )
+
+
+def vector_tile_coords(
+    df: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Vector-tile-local pixel coordinates — the export step for map
+    rendering (Mapbox-Vector-Tile-style): each point gets its tile at
+    ``zoom`` plus integer pixel offsets in the tile's local
+    ``extent x extent`` grid (MVT default 4096).
+
+    The tile columns are the IDENTICAL expressions as
+    :func:`tile_x_col`/:func:`tile_y_col` (same clamping), and the
+    pixel offset is ``floor((frac - tile) * extent)`` clamped to
+    ``[0, extent-1]`` — one deterministic double expression per axis,
+    shared shape with the SQL oracle twin, so coordinates never smear
+    across engines. Edges behave: lon=180 / clamped latitudes land on
+    the last pixel of the last tile, never out of range.
+
+    Output: input columns plus ``tile_x, tile_y, px, py`` (all long).
+    Pure whole-stage-codegen Column math — zero Python, zero shuffle; a
+    downstream writer typically repartitions by (tile_x, tile_y), which
+    is the pipeline's one shuffle, not this operator's.
+    """
+    if extent <= 0:
+        raise ValueError("extent must be positive")
+    n = 1 << _check_zoom(zoom)
+    xf = (F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
+    phi = (
+        F.least(F.greatest(F.col(lat_col), F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+        * F.lit(_DEG2RAD)
+    )
+    yf = (
+        (F.lit(1.0) - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(float(n))
+    )
+
+    def _tile(frac: Column) -> Column:
+        raw = F.floor(frac)
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    def _pixel(frac: Column, tile: Column) -> Column:
+        raw = F.floor((frac - tile) * F.lit(float(extent)))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(extent - 1)).cast("long")
+
+    tx, ty = _tile(xf), _tile(yf)
+    return (
+        df.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withColumn("px", _pixel(xf, F.col("tile_x")))
+        .withColumn("py", _pixel(yf, F.col("tile_y")))
+    )

@@ -76,6 +76,7 @@ SHOWCASE = [
     ("spatial_morans_i", "Moran's I: points collapse to the occupied-cell frame once; 8-offset codegen explode joined back on the int tile key (linear); two 1-row moment aggregates, one broadcast back — nothing quadratic, no driver state"),
     ("spatial_polygon_stats", "shoelace moments: posexplode + ONE window + ONE combined groupBy, all keyed by polygon — a single shuffle linear in total vertices; area/centroid numerators exact int64"),
     ("text_tfidf_topk", "tf-idf top-k: explode -> (doc, term) combined groupBy; vocab-sized doc_freq join (AQE broadcast); rank window plans as WindowGroupLimit so the top-k truncates BEFORE the exchange; text never shuffles"),
+    ("spatial_vector_tile_coords", "MVT export coords: a single codegen projection over the scan — zero shuffle, zero Python; tile + pixel come from one shared fraction subtree"),
     ("spatial_rasterize_roads", "line rasterization: pure codegen sequence/explode DDA walk sized by tile-space length, one distinct on (id, x, y) — no Python, no joins, work bounded by the zoom grid"),
 ]
 
