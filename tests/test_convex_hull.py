@@ -90,3 +90,33 @@ def test_range_guard(spark):
     rows = [("g", 1 << 30, 0), ("g", 0, 0), ("g", 1, 1)]
     with pytest.raises(Exception, match="2\\^30"):
         convex_hulls(spark.createDataFrame(rows, SCHEMA)).collect()
+
+
+def test_composes_with_polygon_stats(spark):
+    """Hull vertices feed polygon_stats directly: per-entity footprint
+    area — the hull is CCW and strict-cornered, so area2 > 0 and equals
+    the brute-force shoelace of the reference hull."""
+    from fairy_core_spark.spatial.ops import polygon_stats
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(79)
+    pts = [("g", int(rng.integers(-400, 400)), int(rng.integers(-400, 400)))
+           for _ in range(150)]
+    hull = convex_hulls(spark.createDataFrame(pts, SCHEMA))
+    rings = (
+        hull.groupBy("group_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("sv")
+        )
+        .select(
+            F.col("group_id").alias("polygon_id"),
+            F.expr("transform(sv, v -> struct(v.x AS x, v.y AS y))").alias("ring"),
+        )
+    )
+    row = polygon_stats(rings).collect()[0]
+    ordered = [(r.x, r.y) for r in sorted(hull.collect(), key=lambda h: h.seq)]
+    a2 = sum(
+        x0 * y1 - x1 * y0
+        for (x0, y0), (x1, y1) in zip(ordered, ordered[1:] + ordered[:1])
+    )
+    assert row.area2 == a2 > 0
