@@ -368,3 +368,57 @@ def proportional_allocation_sql(
       ) a USING ({group})
     ) WHERE __r <= __alloc
     """
+
+
+def shard_plan(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    bytes_col: str = "n_bytes",
+    group_col: str = "source",
+    target_bytes: int = 1 << 28,
+    salt: str = "",
+) -> DataFrame:
+    """WebDataset-style export shard planning — assign every row to an
+    output shard of ~``target_bytes``, deterministically, BEFORE any
+    data moves: the write plan for turning a curated corpus into
+    fixed-size training shards (tar/parquet), reproducible across
+    reruns and partitionings.
+
+    Rows are ordered content-stably inside each ``group_col`` value
+    (ascending md5(salt||key), the sampling-family discipline) and
+    packed greedily: ``shard_id = cum_bytes_before div target_bytes``.
+    Shards are row-granular bins — a shard closes when the running sum
+    crosses the target, so its size lands in
+    ``(target - max_row, target + max_row)``; exact integer math
+    everywhere, no floats.
+
+    Output: ``(key, group, bytes, cum_bytes, shard_id)`` with
+    ``cum_bytes`` the inclusive running sum inside the group and
+    ``shard_id`` 0-based per group (writers name shards
+    ``{group}-{shard_id:05d}``).
+
+    Plan (the 100 TB story): ONE window shuffle keyed by the group —
+    the same shape as quota sampling; parallelism = group count
+    (sources/domains/date buckets), which is how real exports are laid
+    out anyway. For a single monolithic group, pre-split the corpus
+    into md5 super-shards (the ar_bucket_batches trick) and plan within
+    each. The wire carries (key, group, one int64).
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from pyspark.sql import Window
+
+    h = _md5_60_col(_salted_key(F.col(key_col), salt))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.col(bytes_col).cast("long")
+    with_cum = df.select(
+        key_col, group_col, b.alias(bytes_col)
+    ).withColumn("cum_bytes", F.sum(bytes_col).over(w))
+    return with_cum.withColumn(
+        "shard_id",
+        F.expr(f"(cum_bytes - `{bytes_col}`) div {int(target_bytes)}"),
+    )
