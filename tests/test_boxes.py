@@ -215,3 +215,51 @@ def test_nms_invalid_params(spark):
         nms_boxes(df, iou_den=0)
     with pytest.raises(ValueError):
         nms_boxes(df, max_boxes_per_image=0)
+
+
+def test_local_and_global_methods_agree(spark):
+    rng = np.random.default_rng(103)
+    rows = _rand_boxes(rng, 50, 12)
+    df = spark.createDataFrame(rows, SCHEMA)
+    key = lambda recs: sorted(
+        (r.box_id, r.image_id, r.group_id, r.keeper_id, r.is_keeper) for r in recs
+    )
+    a = key(iou_dedup_groups(df, iou_num=3, iou_den=10, method="local").collect())
+    b = key(iou_dedup_groups(df, iou_num=3, iou_den=10, method="global").collect())
+    assert a == b and a
+
+
+def test_local_method_honors_cap(spark):
+    rows = [(i, 5, 0, 0, 10, 10) for i in range(6)]
+    rows += [(10, 6, 0, 0, 10, 10), (11, 6, 1, 0, 11, 10)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = iou_dedup_groups(df, max_boxes_per_image=4, method="local").collect()
+    assert {r.image_id for r in out} == {6}
+
+
+def test_unknown_method_rejected(spark):
+    df = spark.createDataFrame([(0, 1, 0, 0, 1, 1)], SCHEMA)
+    with pytest.raises(ValueError, match="method"):
+        iou_dedup_groups(df, method="nope")
+
+
+def test_local_method_survives_tiny_arrow_batches(spark):
+    # Force images to straddle Arrow batch boundaries so the carry
+    # path in _iou_dedup_local._run is exercised (7-row batches vs
+    # 12-box images), and compare against the global path.
+    rng = np.random.default_rng(211)
+    rows = _rand_boxes(rng, 60, 12)
+    df = spark.createDataFrame(rows, SCHEMA)
+    key = lambda recs: sorted(
+        (r.box_id, r.image_id, r.group_id, r.keeper_id, r.is_keeper) for r in recs
+    )
+    want = key(iou_dedup_groups(df, iou_num=3, iou_den=10, method="global").collect())
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = key(
+            iou_dedup_groups(df, iou_num=3, iou_den=10, method="local").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == want and got
