@@ -72,6 +72,8 @@ SHOWCASE = [
     ("spatial_proportional_sample", "Hamilton downsample: apportionment on the SMALL tile histogram (decimal div/mod, leftover rank), broadcast alloc join, ONE pick window on the tile key — rows shuffle exactly once"),
     ("spatial_hilbert_encode", "Hilbert encode: ONE vectorized Arrow projection, zero shuffle — per-level fold state stays in numpy registers, never in an exponentially-duplicated Column tree"),
     ("image_bbox_iou_dedup", "detection-label dedup: default local method is ONE shuffle on image id + vectorized many-images-per-Arrow-batch union-find (edges never cross images, so no CC rounds); coordinates ride as four ints"),
+    ("corpus_shard_plan", "export shard planning: content-stable md5 rank + inclusive running-byte sum share ONE source-keyed window shuffle; shard id is an integer division — no floats, no data movement"),
+    ("geo_caption_language_mix", "geo x language audit: broadcast-PIP annotation + langid are one zero-shuffle Arrow/codegen projection; the single exchange keys (region, lang) — output-cardinality-sized; permille/dominance windows run on the aggregated tiny frame"),
     ("image_ar_bucket_batches", "AR bucketing: nearest-ratio snap is pure codegen integer math; ONE window shuffle on (bucket, shard) — sharding keeps the rank spread over n_shards partitions per ratio instead of five global funnels"),
     ("spatial_morans_i", "Moran's I: points collapse to the occupied-cell frame once; 8-offset codegen explode joined back on the int tile key (linear); two 1-row moment aggregates, one broadcast back — nothing quadratic, no driver state"),
     ("spatial_polygon_stats", "shoelace moments: posexplode + ONE window + ONE combined groupBy, all keyed by polygon — a single shuffle linear in total vertices; area/centroid numerators exact int64"),
