@@ -388,3 +388,95 @@ def simplify_paths(
     return df.select(entity_col, order_col, lat_col, lon_col).groupBy(
         entity_col
     ).applyInPandas(_simplify, out_schema)
+
+
+def compass_sector(dx: Column, dy: Column) -> Column:
+    """Exact-integer 8-sector compass bucket for a displacement
+    (``dx`` = eastward, ``dy`` = northward, any integer unit).
+
+    The sectors are the 45-degree-rotated octants — boundaries at the
+    axes and diagonals, where EXACT integer rules exist (no atan2, no
+    tan(22.5) irrational): ``|dx| > |dy|`` is E/W by sign(dx),
+    ``|dy| > |dx|`` is N/S by sign(dy), the exact diagonal
+    ``|dx| == |dy|`` is NE/SE/NW/SW by both signs. Deterministic and
+    bit-identical across engines by construction; callers filter the
+    zero displacement (this returns 'SW' for it, vacuously).
+    """
+    adx, ady = F.abs(dx), F.abs(dy)
+    return (
+        F.when(adx > ady, F.when(dx > 0, "E").otherwise("W"))
+        .when(ady > adx, F.when(dy > 0, "N").otherwise("S"))
+        .otherwise(
+            F.when((dx > 0) & (dy > 0), "NE")
+            .when(dx > 0, "SE")
+            .when(dy > 0, "NW")
+            .otherwise("SW")
+        )
+    )
+
+
+def flow_sector_rollup(
+    df: DataFrame,
+    zoom: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-tile movement-flow histogram: consecutive per-entity hops
+    bucketed into exact 8-sector compass directions, rolled up on the
+    START point's Web-Mercator tile — the flow-map / traffic-direction
+    staple over movement streams (fleet pings, photo-EXIF tracks).
+
+    Output: ``(x, y, sector, n_moves, dx_sum, dy_sum)`` — counts plus
+    the NET displacement vector per (tile, sector), all exact int64
+    millidegrees. Determinism contract: positions quantize to integer
+    millidegrees first (round-half-up, the shared engine discipline),
+    so deltas, sector tests and sums are pure integer arithmetic —
+    bit-identical across engines and partitionings. Zero-displacement
+    hops (same millidegree cell) are dropped. int64 sum bound:
+    |dx| <= 360000, safe below ~2.5e13 moves per (tile, sector).
+
+    Plan (100 TB): ONE entity-keyed window shuffle (lead carries two
+    int64s), then ONE combined groupBy on (x, y, sector) whose
+    map-side partials shrink the wire to output cardinality; tile +
+    sector math is whole-stage codegen between them. No Python.
+    """
+    from fairy_core_spark.spatial.webmercator import tile_x_col, tile_y_col
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    seq = df.select(
+        F.col(entity_col),
+        *([F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])),
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+        F.round(F.col(lat_col) * 1000, 0).cast("long").alias("_mlat"),
+        F.round(F.col(lon_col) * 1000, 0).cast("long").alias("_mlon"),
+    ).select(
+        "*",
+        F.lead("_mlat").over(w).alias("_mlat2"),
+        F.lead("_mlon").over(w).alias("_mlon2"),
+    )
+    moves = seq.where(
+        F.col("_mlat2").isNotNull()
+        & ~((F.col("_mlat2") == F.col("_mlat")) & (F.col("_mlon2") == F.col("_mlon")))
+    )
+    dx = F.col("_mlon2") - F.col("_mlon")
+    dy = F.col("_mlat2") - F.col("_mlat")
+    return (
+        moves.select(
+            tile_x_col(F.col("_lon"), zoom).alias("x"),
+            tile_y_col(F.col("_lat"), zoom).alias("y"),
+            compass_sector(dx, dy).alias("sector"),
+            dx.alias("_dx"),
+            dy.alias("_dy"),
+        )
+        .groupBy("x", "y", "sector")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.sum("_dx").alias("dx_sum"),
+            F.sum("_dy").alias("dy_sum"),
+        )
+    )
