@@ -1430,3 +1430,52 @@ def convex_hulls(
         .groupBy(group_col)
         .applyInPandas(_hull, out_schema)
     )
+
+
+def source_tile_concentration(
+    points: DataFrame,
+    zoom: int,
+    source_col: str = "source",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geographic-concentration audit per source: how spread out is each
+    crawl/provider's footprint over Web-Mercator tiles?
+
+    Output per source, all exact int64:
+
+    - ``n_points`` / ``n_tiles`` — volume and occupied-tile breadth,
+    - ``hhi_num`` — the Herfindahl numerator ``sum(n_tile^2)``
+      (``hhi = hhi_num / n_points^2``, left to the caller so the stored
+      number stays integer-exact; safe below ~3e9 rows per source —
+      beyond that pre-aggregate at a coarser zoom),
+    - ``max_tile_n`` / ``max_share_permille`` — the hottest tile and
+      its exact ``floor(max * 1000 / n_points)`` share.
+
+    The signal behind per-source geo-balance decisions (a source whose
+    max_share_permille ~ 1000 is a single-city crawl; quota it by tile,
+    not just by domain). Plan: tile math in codegen, then TWO combined
+    aggregates — (source, tile) partials bound the first shuffle's wire
+    at occupied-tile cardinality, the second is source-cardinality.
+    No Python, no windows, no joins.
+    """
+    from fairy_core_spark.spatial.webmercator import tile_x_col, tile_y_col
+
+    per_tile = (
+        points.select(
+            F.col(source_col).alias("source"),
+            tile_x_col(F.col(lon_col), zoom).alias("x"),
+            tile_y_col(F.col(lat_col), zoom).alias("y"),
+        )
+        .groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_tile.groupBy("source").agg(
+        F.sum("n").alias("n_points"),
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.col("n") * F.col("n")).alias("hhi_num"),
+        F.max("n").alias("max_tile_n"),
+        F.floor(F.max("n") * F.lit(1000) / F.sum("n"))
+        .cast("long")
+        .alias("max_share_permille"),
+    )
