@@ -808,7 +808,11 @@ def phash_exact_dups(df: DataFrame, phash_col: str = "phash", id_col: str = "ima
 
 
 def phash_near_dups(
-    df: DataFrame, phash_col: str = "phash", id_col: str = "image_id", max_hamming: int = 3
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    bucket_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     if not 0 <= max_hamming <= 3:
         raise ValueError(
@@ -818,7 +822,14 @@ def phash_near_dups(
         )
     """Near-duplicate image pairs by phash Hamming <= k via 4x16-bit band
     self-join (pigeonhole guarantees recall for k <= 3) + exact popcount
-    refine (native bit ops)."""
+    refine (native bit ops).
+
+    ``bucket_cols``: optional extra equi-join keys restricting pairs to
+    the same bucket (e.g. Web-Mercator tile columns for COLOCATED
+    near-dups — "same scene re-uploaded nearby"). They ride the band
+    buckets, so they tighten the candidate join (smaller buckets, less
+    skew) rather than adding a shuffle; bucket values are emitted from
+    side a (identical on both sides by construction)."""
     bands = []
     for b in range(4):
         bands.append(
@@ -828,19 +839,32 @@ def phash_near_dups(
             )
         )
     banded = df.select(
-        F.col(id_col).alias("id"), F.col(phash_col).alias("ph"), F.explode(F.array(*bands)).alias("bk")
-    ).select("id", "ph", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+        F.col(id_col).alias("id"),
+        F.col(phash_col).alias("ph"),
+        *[F.col(c) for c in bucket_cols],
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(
+        "id", "ph", *bucket_cols,
+        F.col("bk.band").alias("band"), F.col("bk.val").alias("val"),
+    )
     a, b2 = banded.alias("a"), banded.alias("b")
     xor = F.col("a.ph").bitwiseXOR(F.col("b.ph"))
     ham = F.bit_count(xor)
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+        a.join(b2, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+            *[F.col(f"a.{c}").alias(c) for c in bucket_cols],
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
