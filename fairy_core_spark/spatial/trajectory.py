@@ -480,3 +480,74 @@ def flow_sector_rollup(
             F.sum("_dy").alias("dy_sum"),
         )
     )
+
+
+def tile_visit_cadence(
+    df: DataFrame,
+    zoom: int,
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-tile visit cadence: how often does fresh data land on each
+    Web-Mercator tile? The freshness/staleness signal behind
+    change-detection scheduling ("re-crawl tiles whose median
+    inter-arrival beats X") and collection-gap audits.
+
+    Output per tile with >= 2 events, all exact int64 microseconds:
+    ``n_visits``, ``n_gaps`` (= n_visits - 1), ``median_gap_us`` (LOW
+    median — the value at rank floor((n+1)/2) of the sorted gaps, so no
+    averaging, no floats), ``min_gap_us``, ``max_gap_us``.
+
+    Determinism: gaps are consecutive differences of the SORTED
+    event-time sequence per tile — a multiset that does not depend on
+    how equal timestamps are ordered — and the median rank picks a
+    VALUE, so the result is deterministic without any tiebreaker.
+
+    Plan (100 TB): tile math in codegen; ONE shuffle on (x, y) that
+    both window passes reuse (lag by event time, then rank/count/
+    min/max over gaps — same partitioning, Catalyst plans one
+    exchange). Wire carries (x, y, int64); no joins, no Python.
+    """
+    from fairy_core_spark.spatial.webmercator import tile_x_col, tile_y_col
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seq = df.select(
+        tile_x_col(F.col(lon_col), zoom).alias("x"),
+        tile_y_col(F.col(lat_col), zoom).alias("y"),
+        us.alias("_us"),
+    )
+    w_lag = Window.partitionBy("x", "y").orderBy("_us")
+    w_tile = Window.partitionBy("x", "y")
+    gaps = (
+        seq.select(
+            "x",
+            "y",
+            F.count(F.lit(1)).over(w_tile).alias("n_visits"),
+            (F.col("_us") - F.lag("_us").over(w_lag)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    w_rank = Window.partitionBy("x", "y").orderBy("gap")
+    ranked = gaps.select(
+        "x",
+        "y",
+        "n_visits",
+        "gap",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_tile).alias("n_gaps"),
+        F.min("gap").over(w_tile).alias("min_gap_us"),
+        F.max("gap").over(w_tile).alias("max_gap_us"),
+    )
+    return ranked.where(
+        F.col("_rn")
+        == F.floor((F.col("n_gaps") + 1) / F.lit(2.0)).cast("long")
+    ).select(
+        "x",
+        "y",
+        "n_visits",
+        "n_gaps",
+        F.col("gap").alias("median_gap_us"),
+        "min_gap_us",
+        "max_gap_us",
+    )
