@@ -291,7 +291,35 @@ def serve_order(queries: dict, oracles: dict) -> list[str]:
     # round) outrank changed-but-previously-green entries: if the budget
     # cuts into T0 at all, the cut then lands on an entry that at least has
     # a prior green row on near-identical bytes, never on a brand-new one.
+    # Within the never-certified block, CHEAPEST-measured-first (cost from
+    # the committed full-certification artifact): if the external budget
+    # has a time component this strictly maximizes how many brand-new
+    # entries get an official row; under a pure entry cap it is neutral.
     ever = _ever_certified()
     if ever is not None:
-        t0.sort(key=lambda n: n in ever)  # stable: registration order kept
+        cost = _certified_costs()
+        t0.sort(
+            key=lambda n: (n in ever, cost.get(n, float("inf")) if n not in ever else 0.0)
+        )  # stable: registration order breaks cost ties / missing costs
     return t0 + t1 + t2
+
+
+def _certified_costs() -> dict[str, float]:
+    """Per-entry wall seconds parsed from the newest committed
+    BENCH/ORACLES_r*_full.md self-certification artifact (empty dict if
+    absent/unparsable — ordering falls back to registration order)."""
+    best: tuple[int, Path] | None = None
+    try:
+        for p in (_REPO_ROOT / "BENCH").glob("ORACLES_r*_full.md"):
+            m = re.fullmatch(r"ORACLES_r(\d+)_full\.md", p.name)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), p)
+        if best is None:
+            return {}
+        text = best[1].read_text()
+        return {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r"OK\s+(\w+): \d+ rows\s+\(([\d.]+)s\)", text)
+        }
+    except (OSError, ValueError):
+        return {}

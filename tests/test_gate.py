@@ -96,6 +96,34 @@ def test_serve_order_t0_never_certified_first(monkeypatch, fps):
     assert set(order) == set(names) and len(order) == len(names)
 
 
+def test_serve_order_never_certified_cheapest_first(monkeypatch, fps):
+    """Within the never-certified block, entries sort by measured cost from
+    the committed full-certification artifact (cheapest first), so a
+    time-budgeted walker certifies the most brand-new entries; missing
+    costs fall back to registration order (stable sort, cost inf)."""
+    names = list(_QUERIES)
+    snap = dict(fps)
+    fresh = [names[2], names[5], names[7], names[9]]
+    for n in fresh:
+        snap[n] = "0" * 64
+    monkeypatch.setattr(gate, "_load_snapshot", lambda: snap)
+    monkeypatch.setattr(gate, "_last_certified", lambda: set(names))
+    monkeypatch.setattr(gate, "_ever_certified", lambda: set(names) - set(fresh))
+    monkeypatch.setattr(
+        gate,
+        "_certified_costs",
+        lambda: {names[2]: 9.0, names[5]: 0.5, names[7]: 3.0},  # names[9] missing
+    )
+    order = gate.serve_order(_QUERIES, _ORACLES)
+    assert order[:4] == [names[5], names[7], names[2], names[9]]
+
+
+def test_certified_costs_parses_committed_artifact():
+    costs = gate._certified_costs()
+    # the round-5 artifact is committed; every registry entry has a cost
+    assert costs and all(v >= 0 for v in costs.values())
+
+
 def test_serve_order_degrades_to_registration_order(monkeypatch):
     monkeypatch.setattr(gate, "_load_snapshot", lambda: None)
     monkeypatch.setattr(gate, "_last_certified", lambda: None)
