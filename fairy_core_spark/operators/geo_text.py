@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from fairy_core_spark.operators.text import lang_id
 from fairy_core_spark.spatial.ops import spatial_annotate_broadcast
 
-__all__ = ["region_language_mix"]
+__all__ = ["region_language_mix", "tile_term_affinity"]
 
 
 def region_language_mix(
@@ -100,4 +100,83 @@ def region_language_mix(
             .alias("share_permille"),
             (F.col("_rnk") == 1).cast("long").alias("is_dominant"),
         )
+    )
+
+
+def tile_term_affinity(
+    df: DataFrame,
+    zoom: int,
+    *,
+    text_col: str = "text",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 3,
+    min_count: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k regionally-characteristic caption terms per Web-Mercator
+    tile — the "regional vocabulary" miner (place-name discovery,
+    geo-topic tagging, region-conditioned curation).
+
+    Ranking key is the exact-integer scaled lift
+
+        ``lift_scaled = (n_tt * N * scale) div (n_tile * n_term)``
+
+    where ``n_tt`` = term occurrences in the tile, ``n_tile`` = tokens
+    in the tile, ``n_term`` = corpus-wide term occurrences, ``N`` =
+    corpus tokens: ``scale``-quantized ``P(term|tile) / P(term)``.
+    Integer end-to-end (ties inside one quantum fall to ``term ASC``),
+    so rankings never smear across engines. Int64 bound: ``n_tt * N *
+    scale`` must fit — at web scale pass a smaller ``scale`` (ordering
+    only needs lift resolution, same contract as ``tfidf_topk``).
+    ``min_count`` prunes noise terms BEFORE the joins (totals are
+    computed over the unfiltered frame).
+
+    Plan (100 TB): explode -> ONE (x, y, term) map-side-combined
+    groupBy; tile totals and term totals are each one small aggregate
+    of that frame (tile- and vocab-cardinality — AQE broadcasts the
+    joins back); N is a broadcast scalar; the final rank window
+    partitions by tile, so top-k plans as WindowGroupLimit (partial
+    top-k before the exchange). Caption text never shuffles.
+    """
+    if k <= 0 or scale <= 0 or min_count < 1:
+        raise ValueError("k and scale must be positive, min_count >= 1")
+    from pyspark.sql import Window
+
+    from fairy_core_spark.operators.text import tokens
+    from fairy_core_spark.spatial.webmercator import tile_x_col, tile_y_col
+
+    toks = df.select(
+        tile_x_col(F.col(lon_col), zoom).alias("x"),
+        tile_y_col(F.col(lat_col), zoom).alias("y"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tt = toks.groupBy("x", "y", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tt")
+    )
+    tile_tot = tt.groupBy("x", "y").agg(F.sum("n_tt").alias("n_tile"))
+    term_tot = tt.groupBy("term").agg(F.sum("n_tt").alias("n_term"))
+    n_total = tt.agg(F.sum("n_tt").alias("_n"))
+    scored = (
+        tt.where(F.col("n_tt") >= F.lit(int(min_count)))
+        .join(tile_tot, ["x", "y"])
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "x",
+            "y",
+            "term",
+            "n_tt",
+            F.expr(
+                f"(n_tt * _n * CAST({int(scale)} AS BIGINT)) div (n_tile * n_term)"
+            ).alias("lift_scaled"),
+        )
+    )
+    w = Window.partitionBy("x", "y").orderBy(
+        F.col("lift_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(int(k)))
+        .withColumn("rk", F.col("rk").cast("long"))
     )

@@ -78,6 +78,7 @@ SHOWCASE = [
     ("geo_source_concentration", "source geo-concentration: two combined aggregates — (source, tile) partials bound the first shuffle at occupied-tile cardinality, the second is source-sized; pure codegen, no joins"),
     ("image_colocated_near_dups", "colocated near-dups: tile keys join alongside the 4x16 phash bands, shrinking bucket width to per-tile band population; native popcount refine, one distinct"),
     ("traj_tile_cadence", "visit cadence: ONE hashpartitioning(x, y) exchange with lag/rank/count/min/max windows stacked on it; low-median is a rank pick, no averaging, no floats"),
+    ("geo_term_affinity", "regional term affinity: one (x, y, term) combined groupBy; tile/term totals aggregate THAT frame and broadcast back; rank window plans as WindowGroupLimit — caption text never shuffles"),
     ("image_ar_bucket_batches", "AR bucketing: nearest-ratio snap is pure codegen integer math; ONE window shuffle on (bucket, shard) — sharding keeps the rank spread over n_shards partitions per ratio instead of five global funnels"),
     ("spatial_morans_i", "Moran's I: points collapse to the occupied-cell frame once; 8-offset codegen explode joined back on the int tile key (linear); two 1-row moment aggregates, one broadcast back — nothing quadratic, no driver state"),
     ("spatial_polygon_stats", "shoelace moments: posexplode + ONE window + ONE combined groupBy, all keyed by polygon — a single shuffle linear in total vertices; area/centroid numerators exact int64"),

@@ -159,3 +159,70 @@ def test_outside_all_regions_dropped(spark):
     rows = [(0, PHRASES["en"], -50.0, -50.0)]
     df = spark.createDataFrame(rows, SCHEMA)
     assert region_language_mix(df, _rects_pdf(_rects(False))).count() == 0
+
+
+def test_tile_term_affinity_matches_bruteforce(spark):
+    import math as _m
+    from collections import Counter
+
+    from fairy_core_spark.operators.geo_text import tile_term_affinity
+
+    rng = np.random.default_rng(201)
+    vocab = ["paris", "tower", "beach", "sand", "photo", "nice", "view"]
+    rows = []
+    for i in range(300):
+        if i % 2 == 0:  # "paris tower" cluster
+            lat, lon = 48.85, 2.35
+            words = ["paris", "tower"] + list(rng.choice(vocab[4:], 3))
+        else:  # "beach sand" cluster
+            lat, lon = -20.0, 57.5
+            words = ["beach", "sand"] + list(rng.choice(vocab[4:], 3))
+        rows.append((i, " ".join(words), lat, lon))
+    df = spark.createDataFrame(rows, SCHEMA)
+    zoom, k, scale, min_count = 6, 2, 1000, 2
+    got = {
+        (r.x, r.y, r.rk): (r.term, r.n_tt, r.lift_scaled)
+        for r in tile_term_affinity(
+            df, zoom, k=k, min_count=min_count, scale=scale
+        ).collect()
+    }
+
+    def tile(lat, lon):
+        n = 1 << zoom
+        x = min(max(int(_m.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        phi = min(max(lat, -85.05112878), 85.05112878) * (_m.pi / 180.0)
+        y = min(max(int(_m.floor((1.0 - _m.log(_m.tan(phi) + 1.0 / _m.cos(phi)) / _m.pi) / 2.0 * n)), 0), n - 1)
+        return x, y
+
+    tt = Counter()
+    for _i, text, lat, lon in rows:
+        for w in text.lower().split():
+            tt[(tile(lat, lon), w)] += 1
+    n_tile = Counter()
+    n_term = Counter()
+    for (t, w), n in tt.items():
+        n_tile[t] += n
+        n_term[w] += n
+    N = sum(tt.values())
+    want = {}
+    for t in n_tile:
+        cands = [
+            (-((n * N * scale) // (n_tile[t] * n_term[w])), w, n)
+            for (tt_t, w), n in tt.items()
+            if tt_t == t and n >= min_count
+        ]
+        for rk, (neg, w, n) in enumerate(sorted(cands)[:k], 1):
+            want[(t[0], t[1], rk)] = (w, n, -neg)
+    assert got == want and got
+    # sanity: the planted anchors dominate their tiles
+    top_terms = {v[0] for kk, v in got.items() if kk[2] == 1}
+    assert top_terms & {"paris", "tower", "beach", "sand"}
+
+
+def test_tile_term_affinity_validates_params(spark):
+    from fairy_core_spark.operators.geo_text import tile_term_affinity
+
+    df = spark.createDataFrame([(0, "a b", 0.0, 0.0)], SCHEMA)
+    for kw in ({"k": 0}, {"scale": 0}, {"min_count": 0}):
+        with pytest.raises(ValueError):
+            tile_term_affinity(df, 6, **kw)
