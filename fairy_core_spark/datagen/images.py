@@ -270,3 +270,41 @@ def polygons_df(spark: SparkSession, n: int = 100) -> DataFrame:
         for _, r in pdf.iterrows()
     ]
     return spark.createDataFrame(rows, schema=schema)
+
+
+def low_info_images_df(
+    spark: SparkSession, n_solid: int = 12, n_spike: int = 4
+) -> DataFrame:
+    """Deterministic degenerate specials for the low-information filter
+    (operators/images.flag_low_information): ``n_solid`` constant 16x16
+    PPMs (channel value ``(s*17) % 256`` — the ``near_solid`` branch) and
+    ``n_spike`` almost-constant PPMs (value ``(s*31) % 200`` with ONE
+    channel bumped +16 at pixel (0,0) — range 16 > 8 but per-pixel
+    variance ~1/3, the ``low_variance`` branch). The main gradient table
+    never triggers either branch, so without these the flag would only
+    ever prove the identity transform. Closed-form moments (n=768,
+    sum=768v[+16], sqsum=768v^2[+32v+256]) let an external oracle replay
+    them without decoding. Tiny (driver-side createDataFrame) but encoded
+    through the same PPM path as the main table."""
+    from fairy_core_spark.functions.image_codec import encode_image
+    from fairy_core_spark.functions.phash import phash64
+
+    rows = []
+    for s in range(n_solid):
+        v = (s * 17) % 256
+        px = np.full((16, 16, 3), v, dtype=np.uint8)
+        data = encode_image(px, "ppm")
+        rows.append(
+            (f"solid{s:04d}", bytearray(data), 16, 16, "ppm",
+             f"caption for solid{s:04d}: flat field", phash64(px))
+        )
+    for s in range(n_spike):
+        v = (s * 31) % 200
+        px = np.full((16, 16, 3), v, dtype=np.uint8)
+        px[0, 0, 0] = v + 16
+        data = encode_image(px, "ppm")
+        rows.append(
+            (f"spike{s:04d}", bytearray(data), 16, 16, "ppm",
+             f"caption for spike{s:04d}: flat field one spike", phash64(px))
+        )
+    return spark.createDataFrame(rows, schema=IMAGE_SCHEMA)

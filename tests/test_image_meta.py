@@ -188,3 +188,32 @@ def test_caption_body_separator_in_body_cross_engine(spark):
         f" FROM (VALUES ('{cap}')) t(caption)"
     ).fetchone()[0]
     assert got == "lorem: ipsum"
+
+
+def test_low_info_specials_closed_form(spark):
+    """datagen.low_info_images_df: the planted degenerate images hit the
+    documented closed-form moments (n=768, sum=768v[+16],
+    sqsum=768v^2[+32v+256]) and exercise BOTH flag branches — solids ->
+    near_solid, spikes (range 16 > 8, variance ~1/3) -> low_variance."""
+    from fairy_core_spark.datagen.images import low_info_images_df
+    from fairy_core_spark.operators.images import (
+        flag_low_information,
+        image_pixel_stats,
+    )
+
+    df = low_info_images_df(spark)
+    rows = {r["image_id"]: r.asDict() for r in
+            flag_low_information(image_pixel_stats(df)).collect()}
+    assert len(rows) == 16
+    for s in range(12):
+        v = (s * 17) % 256
+        r = rows[f"solid{s:04d}"]
+        assert (r["n_px"], r["px_sum"], r["px_sqsum"]) == (768, 768 * v, 768 * v * v)
+        assert r["px_min"] == r["px_max"] == v
+        assert r["info_flag"] == "near_solid"
+    for s in range(4):
+        v = (s * 31) % 200
+        r = rows[f"spike{s:04d}"]
+        assert (r["px_sum"], r["px_sqsum"]) == (768 * v + 16, 768 * v * v + 32 * v + 256)
+        assert (r["px_min"], r["px_max"]) == (v, v + 16)
+        assert r["info_flag"] == "low_variance"
