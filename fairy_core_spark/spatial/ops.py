@@ -1479,3 +1479,127 @@ def source_tile_concentration(
         .cast("long")
         .alias("max_share_permille"),
     )
+
+
+def snap_points_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    zoom: int,
+    *,
+    halo: int = 1,
+    scale_bits: int = 20,
+    point_id_col: str = "point_id",
+    seg_id_col: str = "seg_id",
+) -> DataFrame:
+    """Map matching: snap each point to its nearest road segment within a
+    bounded tile radius — the GPS->road-network primitive behind
+    trajectory cleaning, odometry and "which street is this photo on".
+
+    Inputs carry BOTH representations of each coordinate: doubles
+    (``lat``/``lon``, ``lat0..lon1``) drive the shared slippy-tile
+    assignment, and planar INTEGER coordinates (``px``/``py``,
+    ``ax``/``ay``/``bx``/``by`` — e.g. millidegrees, derived exactly from
+    keys or by rounding) drive the distance math, so the snap decision is
+    integer-exact and engine-portable (no IEEE min-flap can change a
+    winner).
+
+    Candidates come from the tile index: segments rasterize to their
+    8-connected DDA tile set (``webmercator.rasterize_segments``),
+    dilated by ``halo`` rings; a point sees exactly the segments whose
+    dilated set covers its tile. That bounds the search radius to
+    ``halo`` tile-widths by CONTRACT (a segment further away than the
+    dilation is out of scope — the standard bounded-radius map-match),
+    and bounds the join fan-out by road density per tile, not by n*m.
+
+    Scoring is the squared point-to-segment distance as an exact
+    integer: with w = p - a, d = b - a (int64-safe products), the
+    clamped-projection fraction num/l2 (num = w2*l2 - tnum^2 inside the
+    segment, endpoint forms at the clamps; Cauchy-Schwarz keeps num >=
+    0) is quantized once as ``dist_q = (num << scale_bits) div l2`` in
+    DECIMAL(38,0) — floor division, never a rounded decimal quotient, so
+    both engines get the identical integer. Winner per point = MIN
+    (dist_q, seg_id).
+
+    Plan at 10^12 points: the road side (tile set, dilated) is the small
+    side — broadcast equi-join on the tile key; the per-point top-1 is
+    one window exchange that WindowGroupLimit partially aggregates
+    map-side. Points that hit no dilated road tile drop out (bounded
+    radius); no cross join anywhere.
+
+    Output: (point_id, seg_id, dist_q) — one row per matched point.
+    """
+    from pyspark.sql import Window as W
+
+    from fairy_core_spark.spatial.webmercator import (
+        rasterize_segments,
+        tile_x_col,
+        tile_y_col,
+    )
+
+    n = 1 << zoom
+    rast = rasterize_segments(segments, zoom, id_col=seg_id_col)
+    offs = [(dx, dy) for dx in range(-halo, halo + 1) for dy in range(-halo, halo + 1)]
+    off_df = rast.sparkSession.createDataFrame(offs, "dx int, dy int")
+    seg_tiles = (
+        rast.crossJoin(F.broadcast(off_df))
+        .select(
+            seg_id_col,
+            (F.col("tile_x") + F.col("dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("dy")).alias("tile_y"),
+        )
+        .where(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < n)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < n)
+        )
+        .dropDuplicates([seg_id_col, "tile_x", "tile_y"])
+    )
+    seg_geom = segments.select(seg_id_col, "ax", "ay", "bx", "by")
+    cand = (
+        points.select(
+            point_id_col,
+            tile_x_col(F.col("lon"), zoom).alias("tile_x"),
+            tile_y_col(F.col("lat"), zoom).alias("tile_y"),
+            "px",
+            "py",
+        )
+        .join(F.broadcast(seg_tiles), ["tile_x", "tile_y"])
+        .join(F.broadcast(seg_geom), seg_id_col)
+    )
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    wx = F.col("px") - F.col("ax")
+    wy = F.col("py") - F.col("ay")
+    scored = cand.select(
+        point_id_col,
+        seg_id_col,
+        (dx * dx + dy * dy).alias("l2"),
+        (wx * dx + wy * dy).alias("tnum"),
+        (wx * wx + wy * wy).alias("w2"),
+        ((F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx"))
+         + (F.col("py") - F.col("by")) * (F.col("py") - F.col("by"))).alias("v2"),
+    )
+    dec = "DECIMAL(38,0)"
+    num = (
+        F.when(F.col("l2") == 0, F.col("w2").cast(dec) * F.lit(1).cast(dec))
+        .when(F.col("tnum") <= 0, F.col("w2").cast(dec) * F.col("l2").cast(dec))
+        .when(F.col("tnum") >= F.col("l2"), F.col("v2").cast(dec) * F.col("l2").cast(dec))
+        .otherwise(
+            F.col("w2").cast(dec) * F.col("l2").cast(dec)
+            - F.col("tnum").cast(dec) * F.col("tnum").cast(dec)
+        )
+    )
+    den = F.when(F.col("l2") == 0, F.lit(1).cast(dec)).otherwise(F.col("l2").cast(dec))
+    q = (
+        scored.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "dist_q",
+            F.expr(f"CAST(_num * {1 << scale_bits} AS DECIMAL(38,0)) div _den"),
+        )
+    )
+    w = W.partitionBy(point_id_col).orderBy("dist_q", seg_id_col)
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(point_id_col, seg_id_col, F.col("dist_q").cast("long").alias("dist_q"))
+    )

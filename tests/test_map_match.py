@@ -1,0 +1,124 @@
+"""snap_points_to_segments: exact integer snap vs an independent
+Fraction-arithmetic brute force over the same bounded-radius contract."""
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _brute(points, segs, cand_pairs, scale_bits=20):
+    """exact rational point-to-segment distance, floor-quantized; min per
+    point by (dist_q, seg_id) — pure Python, no shared code with the
+    engine beyond the candidate pair list."""
+    best = {}
+    for pid, sid in cand_pairs:
+        px, py = points[pid]
+        ax, ay, bx, by = segs[sid]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        wx, wy = px - ax, py - ay
+        if l2 == 0:
+            d2 = Fraction(wx * wx + wy * wy)
+        else:
+            t = Fraction(wx * dx + wy * dy, l2)
+            if t <= 0:
+                d2 = Fraction(wx * wx + wy * wy)
+            elif t >= 1:
+                d2 = Fraction((px - bx) ** 2 + (py - by) ** 2)
+            else:
+                qx = Fraction(ax) + t * dx
+                qy = Fraction(ay) + t * dy
+                d2 = (px - qx) ** 2 + (py - qy) ** 2
+        q = (d2.numerator * (1 << scale_bits)) // d2.denominator
+        cur = best.get(pid)
+        if cur is None or (q, sid) < cur:
+            best[pid] = (q, sid)
+    return {pid: (sid, q) for pid, (q, sid) in best.items()}
+
+
+@pytest.fixture(scope="module")
+def snapped(spark):
+    from fairy_core_spark.spatial.ops import snap_points_to_segments
+    from fairy_core_spark.spatial.webmercator import rasterize_segments, with_tiles
+
+    zoom = 6
+    segs = spark.range(1, 60).select(
+        F.col("id").alias("seg_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat0"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon0"),
+        (((F.col("id") * 104729) % 120000) / 1000.0 - 60.0).alias("lat1"),
+        (((F.col("id") * 7919) % 360000) / 1000.0 - 180.0).alias("lon1"),
+        ((F.col("id") * 104729) % 360000 - 180000).cast("long").alias("ax"),
+        ((F.col("id") * 7919) % 120000 - 60000).cast("long").alias("ay"),
+        ((F.col("id") * 7919) % 360000 - 180000).cast("long").alias("bx"),
+        ((F.col("id") * 104729) % 120000 - 60000).cast("long").alias("by"),
+    )
+    pts = spark.range(1, 400).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 6151) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 92821) % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 92821) % 360000 - 180000).cast("long").alias("px"),
+        ((F.col("id") * 6151) % 120000 - 60000).cast("long").alias("py"),
+    )
+    got = {
+        r["point_id"]: (r["seg_id"], r["dist_q"])
+        for r in snap_points_to_segments(pts, segs, zoom).collect()
+    }
+    # independent candidate generation: engine rasterize (pinned by its own
+    # tests) + python dilation + tile lookup
+    n = 1 << zoom
+    rast = rasterize_segments(segs, zoom).collect()
+    tile2segs = {}
+    for r in rast:
+        for ddx in (-1, 0, 1):
+            for ddy in (-1, 0, 1):
+                tx, ty = r["tile_x"] + ddx, r["tile_y"] + ddy
+                if 0 <= tx < n and 0 <= ty < n:
+                    tile2segs.setdefault((tx, ty), set()).add(r["seg_id"])
+    ptiles = {
+        r["point_id"]: (r["tile_x"], r["tile_y"])
+        for r in with_tiles(pts, zoom=zoom, quadkey=False).collect()
+    }
+    pcoords = {r["point_id"]: (r["px"], r["py"]) for r in pts.collect()}
+    scoords = {
+        r["seg_id"]: (r["ax"], r["ay"], r["bx"], r["by"]) for r in segs.collect()
+    }
+    pairs = [
+        (pid, sid)
+        for pid, t in ptiles.items()
+        for sid in tile2segs.get(t, ())
+    ]
+    want = _brute(pcoords, scoords, pairs)
+    return got, want
+
+
+def test_matches_brute_force(snapped):
+    got, want = snapped
+    assert got == want
+    assert len(got) > 100  # dense enough fixture to be meaningful
+
+
+def test_unmatched_points_are_dropped(snapped):
+    got, want = snapped
+    # bounded radius: some points genuinely see no road tile
+    assert len(got) < 399
+
+
+def test_degenerate_zero_length_segment(spark):
+    from fairy_core_spark.spatial.ops import snap_points_to_segments
+
+    segs = spark.createDataFrame(
+        [(1, 10.0, 10.0, 10.0, 10.0, 10000, 10000, 10000, 10000)],
+        "seg_id long, lat0 double, lon0 double, lat1 double, lon1 double,"
+        " ax long, ay long, bx long, by long",
+    )
+    pts = spark.createDataFrame(
+        [(7, 10.001, 10.002, 10002, 10001)],
+        "point_id long, lat double, lon double, px long, py long",
+    )
+    rows = snap_points_to_segments(pts, segs, 6).collect()
+    assert len(rows) == 1
+    # dist^2 = 2^2 + 1^2 = 5 mdeg^2, quantized exactly
+    assert rows[0]["dist_q"] == 5 * (1 << 20)
+    assert rows[0]["seg_id"] == 1
