@@ -551,3 +551,84 @@ def tile_visit_cadence(
         "min_gap_us",
         "max_gap_us",
     )
+
+
+def resample_tracks(
+    df: DataFrame,
+    *,
+    interval_us: int,
+    max_gap_intervals: int = 8,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Fixed-grid track resampling: for every consecutive ping pair of an
+    entity, emit the track's linearly interpolated position at each
+    global grid instant (multiples of ``interval_us`` epoch-micros) in
+    the half-open interval (t0, t1] — the time-normalization step
+    upstream of speed profiles, track alignment and co-movement mining,
+    where raw pings arrive at arbitrary cadence.
+
+    Integer-exact and engine-portable: positions are planar INTEGER
+    coordinates (millidegrees, pixels); the interpolation
+    ``x0 + floor((x1-x0)*(gt-t0) / (t1-t0))`` is computed as exact int64
+    floor-division (the positive-mod adjustment makes the numerator
+    exactly divisible before ``div``, so truncation == floor even for
+    negative deltas — bit-identical to an engine whose ``//`` floors).
+
+    Gaps longer than ``max_gap_intervals`` grid steps emit NOTHING —
+    interpolating across a silence of days is fiction, and the guard
+    also bounds the per-pair explode at exactly ``max_gap_intervals``
+    rows, so a 100 TB run's output is at most that multiple of its ping
+    count. Pairs at identical timestamps are skipped (the next pair
+    covers the instant; ordering ties break on ``order_col`` so both
+    engines pick the same segment).
+
+    Plan: ONE window exchange on the entity key (lead), then pure
+    codegen sequence/explode + integer math — no joins, no Python.
+
+    Output: (entity, grid_us, x, y) with the caller's column names.
+    """
+    g = int(interval_us)
+    if g <= 0:
+        raise ValueError(f"interval_us must be positive, got {interval_us}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(entity_col).alias("ent"),
+        us.alias("t"),
+        F.col(x_col).cast("long").alias("x0"),
+        F.col(y_col).cast("long").alias("y0"),
+        F.col(order_col).alias("ord"),
+    )
+    w = Window.partitionBy("ent").orderBy("t", "ord")
+    nxt = (
+        base.withColumn("t1", F.lead("t").over(w))
+        .withColumn("x1", F.lead("x0").over(w))
+        .withColumn("y1", F.lead("y0").over(w))
+        .where(F.col("t1") > F.col("t"))
+        .where((F.col("t1") - F.col("t")) <= F.lit(g * max_gap_intervals))
+    )
+    grid = (
+        nxt.withColumn("gstart", F.expr(f"(t div {g} + 1) * {g}"))
+        .withColumn("gend", F.expr(f"(t1 div {g}) * {g}"))
+        .where(F.col("gstart") <= F.col("gend"))
+        .select(
+            "ent", "t", "t1", "x0", "y0", "x1", "y1",
+            F.explode(
+                F.sequence(F.col("gstart"), F.col("gend"), F.lit(g))
+            ).alias("gt"),
+        )
+    )
+    interp = grid.withColumn("_nx", (F.col("x1") - F.col("x0")) * (F.col("gt") - F.col("t"))) \
+        .withColumn("_ny", (F.col("y1") - F.col("y0")) * (F.col("gt") - F.col("t"))) \
+        .withColumn("_den", F.col("t1") - F.col("t")) \
+        .withColumn("_qx", F.expr("(_nx - pmod(_nx, _den)) div _den")) \
+        .withColumn("_qy", F.expr("(_ny - pmod(_ny, _den)) div _den"))
+    return interp.select(
+        F.col("ent").alias(entity_col),
+        F.col("gt").alias("grid_us"),
+        (F.col("x0") + F.col("_qx")).alias(x_col),
+        (F.col("y0") + F.col("_qy")).alias(y_col),
+    )
