@@ -85,6 +85,11 @@ SHOWCASE = [
     ("text_tfidf_topk", "tf-idf top-k: explode -> (doc, term) combined groupBy; vocab-sized doc_freq join (AQE broadcast); rank window plans as WindowGroupLimit so the top-k truncates BEFORE the exchange; text never shuffles"),
     ("spatial_vector_tile_coords", "MVT export coords: a single codegen projection over the scan — zero shuffle, zero Python; tile + pixel come from one shared fraction subtree"),
     ("spatial_rasterize_roads", "line rasterization: pure codegen sequence/explode DDA walk sized by tile-space length, one distinct on (id, x, y) — no Python, no joins, work bounded by the zoom grid"),
+    ("image_low_information", "low-information filter: ONE mapInPandas decode pass emits 5 integer moments per image; the flag is a codegen projection — no shuffle beyond the scan, scan-bound by design"),
+    ("spatial_tile_best_image", "per-tile best image: decode moments reuse the memoized Arrow pass; geo join is id-equi (AQE broadcast); the pick is ONE window exchange on the tile key with WindowGroupLimit partial top-1"),
+    ("traj_map_match", "map matching: rasterized+dilated road tiles BROADCAST into an equi-join on the point's tile; exact-integer distance in codegen decimal math; per-point top-1 via WindowGroupLimit — no cross join, fan-out bounded by road density"),
+    ("traj_colocation_groups", "co-visitation components: pair mining reuses the memoized colocation frame; CC rounds shuffle only (id, label) tuples with localCheckpoint-truncated lineage; the size window is one group_id exchange"),
+    ("traj_resample_grid", "grid resampling: ONE entity window exchange (lead), then codegen sequence/explode + exact int64 floor-division — no joins, no Python; output bounded at max_gap_intervals x ping count"),
 ]
 
 
