@@ -973,3 +973,69 @@ def phash_dup_keeper(
             (F.col("rk") == 1).cast("long").alias("is_keeper"),
         )
     )
+
+
+def phash_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Banded approximate top-k perceptual-hash search (reverse-image
+    lookup): for each query image, the ``k`` nearest corpus images by
+    phash Hamming distance AMONG the banded candidate set — images
+    sharing at least one of the 4x16-bit bands, which pigeonhole-
+    guarantees every corpus image within Hamming <= 3 is a candidate;
+    beyond that recall follows the band-collision odds (the standard
+    multi-index LSH search contract). Self-matches excluded; rank ties
+    break on corpus id, so the top-k is deterministic.
+
+    Plan: band-explode both sides, the QUERY side broadcast (query sets
+    are small by nature), equi-join on (band, val), dropDuplicates on
+    the (query, corpus) pair, native popcount, ONE rank window on the
+    query key (WindowGroupLimit partial top-k before the exchange). The
+    corpus never shuffles more than (id, phash) pairs; candidate
+    fan-out is bounded by band-bucket width, not corpus size.
+
+    Output: (query_id, image_id, hamming, rk), rk in 1..k.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _banded(df: DataFrame, out_id: str, out_ph: str) -> DataFrame:
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for b in range(4)
+        ]
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(phash_col).alias(out_ph),
+            F.explode(F.array(*bands)).alias("bk"),
+        ).select(out_id, out_ph, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+
+    bq = _banded(queries, "qid", "qph")
+    bc = _banded(corpus, "cid", "cph")
+    cand = (
+        bc.join(F.broadcast(bq), ["band", "val"])
+        .where(F.col("qid") != F.col("cid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = cand.select(
+        F.col("qid").alias(query_id_col),
+        F.col("cid").alias(id_col),
+        F.bit_count(F.col("qph").bitwiseXOR(F.col("cph"))).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("hamming", id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

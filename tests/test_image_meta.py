@@ -217,3 +217,30 @@ def test_low_info_specials_closed_form(spark):
         assert (r["px_sum"], r["px_sqsum"]) == (768 * v + 16, 768 * v * v + 32 * v + 256)
         assert (r["px_min"], r["px_max"]) == (v, v + 16)
         assert r["info_flag"] == "low_variance"
+
+
+def test_phash_topk_ordering_and_exclusions(spark):
+    """planted Hamming neighborhood: exact rank order, self-exclusion,
+    band-candidate contract (a hash differing in all 4 bands is not a
+    candidate even if Hamming-close by count)."""
+    from fairy_core_spark.operators.dedup import phash_topk
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        ("q", base),
+        ("a", base ^ 0x1),            # hamming 1, band 0
+        ("b", base ^ 0x3),            # hamming 2, band 0
+        ("c", base ^ (1 << 17)),      # hamming 1, band 1
+        # differs by exactly one bit in EVERY band: hamming 4 but still a
+        # candidate? no — all four band values differ -> excluded
+        ("far", base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    qs = df.where(F.col("image_id") == "q")
+    got = [
+        (r["image_id"], r["hamming"], r["rk"])
+        for r in phash_topk(df, qs, k=5).orderBy("rk").collect()
+    ]
+    assert got == [("a", 1, 1), ("c", 1, 2), ("b", 2, 3)]  # far excluded, no self
