@@ -308,3 +308,39 @@ def low_info_images_df(
              f"caption for spike{s:04d}: flat field one spike", phash64(px))
         )
     return spark.createDataFrame(rows, schema=IMAGE_SCHEMA)
+
+
+def rotated_images_df(spark: SparkSession, n_groups: int = 8) -> DataFrame:
+    """Planted dihedral-duplicate groups for rotation-invariant dedup:
+    group ``g`` regenerates the main table's image ``src_i = 37*g + 1``
+    from the datagen spec and emits FIVE variants under fresh ids
+    (``rot{g:03d}v{v}``): the original pixels, three quarter-turns and
+    the mirror — one orbit the dihedral-min key must collapse while
+    plain phash sees five different hashes. PPM-encoded (lossless) so
+    the stored pixels are exactly the transforms."""
+    from fairy_core_spark.functions.image_codec import encode_image
+    from fairy_core_spark.functions.phash import phash64
+
+    rows = []
+    for g in range(n_groups):
+        src_i = 37 * g + 1
+        src_id = f"img{src_i:010d}"
+        w = _SIZES[src_i % len(_SIZES)]
+        h = _SIZES[(src_i // 3) % len(_SIZES)]
+        base = make_pixels(src_id, w, h)
+        variants = [
+            base,
+            np.rot90(base),
+            np.rot90(base, 2),
+            np.rot90(base, 3),
+            base[:, ::-1],
+        ]
+        for v, px in enumerate(variants):
+            px = np.ascontiguousarray(px)
+            data = encode_image(px, "ppm")
+            hh, ww, _ = px.shape
+            rows.append(
+                (f"rot{g:03d}v{v}", bytearray(data), ww, hh, "ppm",
+                 f"caption for rot{g:03d}v{v}: dihedral variant", phash64(px))
+            )
+    return spark.createDataFrame(rows, schema=IMAGE_SCHEMA)

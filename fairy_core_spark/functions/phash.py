@@ -125,3 +125,21 @@ def band_keys(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
         band = (u >> np.uint64(b * width)) & mask
         out[:, b] = (band | (np.uint64(b) << np.uint64(width))).astype(np.int64)
     return out
+
+
+def phash64_dihedral_min(pixels: np.ndarray) -> int:
+    """Rotation/mirror-invariant perceptual key: MIN of :func:`phash64`
+    over the 8 dihedral transforms (4 quarter-turns x optional mirror).
+    Every member of an image's dihedral orbit enumerates the SAME 8
+    transform results (the orbit is a group coset), so 90/180/270-rotated
+    and mirrored re-uploads collapse to one identical key with no
+    multi-probe join downstream — plain phash deliberately does NOT (a
+    rotation scrambles the DCT block). Cost: 8 DCTs per image; signed
+    int64 min is the total order (LongType-stable)."""
+    vals = []
+    cur = pixels
+    for _ in range(4):
+        vals.append(phash64(cur))
+        vals.append(phash64(cur[:, ::-1]))
+        cur = np.rot90(cur)
+    return min(vals)

@@ -442,3 +442,32 @@ def ar_bucket_batches(
             ((F.col("rk") - 1) / batch_size).cast("long").alias("batch_id"),
         )
     )
+
+
+DIHEDRAL_KEYS_SCHEMA = "image_id string, dkey long"
+
+
+def rotation_invariant_keys(images: DataFrame) -> DataFrame:
+    """(image_id, dkey): the dihedral-min perceptual key
+    (functions/phash.phash64_dihedral_min) per decodable image in ONE
+    Arrow decode pass — the rotation/mirror-blind dedup key (re-uploads
+    that rotate or flip the frame defeat plain phash grouping; the orbit
+    minimum does not). Undecodable rows are dropped (the validate stage
+    owns reporting them). Pure projection: no shuffle at any scale; 8
+    DCTs per image ride the decode pass the pipeline already pays."""
+    from fairy_core_spark.functions.image_codec import decode_image
+    from fairy_core_spark.functions.phash import phash64_dihedral_min
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, keys = [], []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                except Exception:
+                    continue
+                ids.append(iid)
+                keys.append(phash64_dihedral_min(px))
+            yield pd.DataFrame({"image_id": ids, "dkey": pd.array(keys, dtype="int64")})
+
+    return images.mapInPandas(run, schema=DIHEDRAL_KEYS_SCHEMA)

@@ -109,3 +109,22 @@ def test_hex7_ring1_golden_matches_engine():
     assert sorted(HEX7_RING1_SF001) == expect
     # sanity: every edge endpoint is an occupied cell, no self loops
     assert all(a in occ_set and b in occ_set and a != b for a, b in HEX7_RING1_SF001)
+
+
+def test_image_dihedral_golden_matches_engine(spark):
+    from fairy_core_spark.datagen.images import images_df, rotated_images_df
+    from fairy_core_spark.goldens.contract_goldens import IMAGE_DIHEDRAL_640
+    from fairy_core_spark.operators.images import rotation_invariant_keys
+
+    assert len(IMAGE_DIHEDRAL_640) == 640
+    golden = dict(IMAGE_DIHEDRAL_640)
+    sub = (
+        images_df(spark, 3000)
+        .where(F.substring("image_id", 4, 10).cast("long") % 5 == 0)
+        .unionByName(rotated_images_df(spark))
+        .where(F.abs(F.xxhash64("image_id")) % 10 == 0)
+    )
+    rows = rotation_invariant_keys(sub).collect()
+    assert len(rows) > 30
+    for r in rows:
+        assert golden[r["image_id"]] == r["dkey"], r["image_id"]

@@ -244,3 +244,30 @@ def test_phash_topk_ordering_and_exclusions(spark):
         for r in phash_topk(df, qs, k=5).orderBy("rk").collect()
     ]
     assert got == [("a", 1, 1), ("c", 1, 2), ("b", 2, 3)]  # far excluded, no self
+
+
+def test_dihedral_key_invariance_and_groups(spark):
+    """the 8-transform orbit shares ONE key (incl. vertical flip =
+    rot180 o mirror); distinct images keep distinct keys; the planted
+    datagen orbits group while plain phash sees 5 hashes."""
+    import numpy as np
+
+    from fairy_core_spark.datagen.images import rotated_images_df
+    from fairy_core_spark.functions.phash import phash64, phash64_dihedral_min
+    from fairy_core_spark.operators.images import rotation_invariant_keys
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    k = phash64_dihedral_min(px)
+    for t in (np.rot90(px), np.rot90(px, 3), px[::-1], px[:, ::-1].copy()):
+        assert phash64_dihedral_min(np.ascontiguousarray(t)) == k
+    other = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert phash64_dihedral_min(other) != k
+
+    df = rotated_images_df(spark, n_groups=3)
+    keys = {r["image_id"]: r["dkey"] for r in rotation_invariant_keys(df).collect()}
+    phashes = {r["image_id"]: r["phash"] for r in df.select("image_id", "phash").collect()}
+    for g in range(3):
+        orbit = [f"rot{g:03d}v{v}" for v in range(5)]
+        assert len({keys[i] for i in orbit}) == 1
+        assert len({phashes[i] for i in orbit}) == 5  # plain phash scrambles
