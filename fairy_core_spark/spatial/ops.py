@@ -1603,3 +1603,86 @@ def snap_points_to_segments(
         .where(F.col("rk") == 1)
         .select(point_id_col, seg_id_col, F.col("dist_q").cast("long").alias("dist_q"))
     )
+
+
+def isolated_points(
+    points: DataFrame,
+    zoom: int,
+    *,
+    halo: int = 1,
+    point_id_col: str = "point_id",
+) -> DataFrame:
+    """Spatial isolation / outlier audit: for every point, its nearest
+    OTHER point within a ``halo``-ring tile neighborhood — in exact
+    integer planar coordinates — or an explicit "no neighbor in range"
+    marker. The geocoding-error / lone-sample detector: a photo whose
+    nearest companion is hundreds of km away is usually a bad geotag.
+
+    Same bounded-radius contract as :func:`snap_points_to_segments`:
+    candidates are pairs sharing a tile after one side dilates by
+    ``halo`` rings, so the search radius is ``halo`` tile-widths by
+    construction and the join fan-out is bounded by local density —
+    never n². A point with NO in-range companion gets ``nn_id = -1``,
+    ``nn_dist_q = -1``, ``isolated = true`` (sentinels, not NULLs, so
+    downstream filters and cross-engine hashes stay total).
+
+    Inputs carry doubles (``lat``/``lon`` — tile assignment) and planar
+    INTEGER ``px``/``py`` (e.g. millidegrees — distance math). The
+    nearest-neighbor winner is MIN over exact int64 squared distance
+    with id tie-break; ``nn_dist_q = dx² + dy²`` exactly (no scaling
+    needed — point distances carry no denominator).
+
+    Plan at 10^12 points: tile both sides (projection), explode ONE side
+    by the (2*halo+1)² offsets (codegen), self-equi-join on the tile
+    key, min-by per point via one WindowGroupLimit exchange, left join
+    back for the isolated remainder. Shuffles carry (id, tile, two
+    int64s); AQE splits dense-tile skew.
+    """
+    from pyspark.sql import Window as W
+
+    from fairy_core_spark.spatial.webmercator import tile_x_col, tile_y_col
+
+    n = 1 << zoom
+    tiled = points.select(
+        F.col(point_id_col).alias("pid"),
+        tile_x_col(F.col("lon"), zoom).alias("tx"),
+        tile_y_col(F.col("lat"), zoom).alias("ty"),
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+    )
+    offs = [(dx, dy) for dx in range(-halo, halo + 1) for dy in range(-halo, halo + 1)]
+    off_df = tiled.sparkSession.createDataFrame(offs, "dx int, dy int")
+    probe = (
+        tiled.crossJoin(F.broadcast(off_df))
+        .select(
+            F.col("pid").alias("nid"),
+            (F.col("tx") + F.col("dx")).alias("tx"),
+            (F.col("ty") + F.col("dy")).alias("ty"),
+            F.col("px").alias("nx"),
+            F.col("py").alias("ny"),
+        )
+        .where((F.col("tx") >= 0) & (F.col("tx") < n)
+               & (F.col("ty") >= 0) & (F.col("ty") < n))
+    )
+    cand = tiled.join(probe, ["tx", "ty"]).where(F.col("pid") != F.col("nid"))
+    d2 = (
+        (F.col("px") - F.col("nx")) * (F.col("px") - F.col("nx"))
+        + (F.col("py") - F.col("ny")) * (F.col("py") - F.col("ny"))
+    )
+    w = W.partitionBy("pid").orderBy("d2", "nid")
+    nearest = (
+        cand.select("pid", "nid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("pid", F.col("nid").alias("nn_id"), F.col("d2").alias("nn_dist_q"))
+    )
+    return (
+        tiled.select("pid")
+        .join(nearest, "pid", "left")
+        .select(
+            F.col("pid").alias(point_id_col),
+            F.coalesce("nn_id", F.lit(-1)).cast("long").alias("nn_id"),
+            F.coalesce("nn_dist_q", F.lit(-1)).cast("long").alias("nn_dist_q"),
+            F.col("nn_id").isNull().alias("isolated"),
+        )
+    )

@@ -122,3 +122,48 @@ def test_degenerate_zero_length_segment(spark):
     # dist^2 = 2^2 + 1^2 = 5 mdeg^2, quantized exactly
     assert rows[0]["dist_q"] == 5 * (1 << 20)
     assert rows[0]["seg_id"] == 1
+
+
+def test_isolated_points_matches_brute_force(spark):
+    """bounded-radius nearest-neighbor vs python brute force over the
+    same tile-halo candidate rule; sentinel contract for out-of-range."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import isolated_points
+    from fairy_core_spark.spatial.webmercator import with_tiles
+
+    zoom = 6
+    pts = spark.range(1, 500).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 6151) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 92821) % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 92821) % 360000 - 180000).cast("long").alias("px"),
+        ((F.col("id") * 6151) % 120000 - 60000).cast("long").alias("py"),
+    )
+    got = {
+        r["point_id"]: (r["nn_id"], r["nn_dist_q"], r["isolated"])
+        for r in isolated_points(pts, zoom).collect()
+    }
+    tiles = {
+        r["point_id"]: (r["tile_x"], r["tile_y"])
+        for r in with_tiles(pts, zoom=zoom, quadkey=False).collect()
+    }
+    coords = {r["point_id"]: (r["px"], r["py"]) for r in pts.collect()}
+    n = 1 << zoom
+    want = {}
+    for pid, (tx, ty) in tiles.items():
+        best = None
+        for nid, (ntx, nty) in tiles.items():
+            if nid == pid:
+                continue
+            # candidate iff the neighbor's dilated tile set covers pid's tile
+            if abs(ntx - tx) <= 1 and abs(nty - ty) <= 1:
+                px, py = coords[pid]
+                nx, ny = coords[nid]
+                d2 = (px - nx) ** 2 + (py - ny) ** 2
+                if best is None or (d2, nid) < best:
+                    best = (d2, nid)
+        want[pid] = (best[1], best[0], False) if best else (-1, -1, True)
+    assert got == want
+    assert any(v[2] for v in want.values())      # fixture has isolated points
+    assert any(not v[2] for v in want.values())  # and neighbored ones
