@@ -90,6 +90,11 @@ SHOWCASE = [
     ("traj_map_match", "map matching: rasterized+dilated road tiles BROADCAST into an equi-join on the point's tile; exact-integer distance in codegen decimal math; per-point top-1 via WindowGroupLimit — no cross join, fan-out bounded by road density"),
     ("traj_colocation_groups", "co-visitation components: pair mining reuses the memoized colocation frame; CC rounds shuffle only (id, label) tuples with localCheckpoint-truncated lineage; the size window is one group_id exchange"),
     ("traj_resample_grid", "grid resampling: ONE entity window exchange (lead), then codegen sequence/explode + exact int64 floor-division — no joins, no Python; output bounded at max_gap_intervals x ping count"),
+    ("image_phash_topk", "reverse-image search: query bands BROADCAST into the corpus band join; candidates dropDuplicate then popcount rank with WindowGroupLimit — corpus shuffles only (id, phash)"),
+    ("spatial_emerging_tiles", "emerging tiles: events collapse to the (tile, week) count frame in ONE combined groupBy; the week-shift comparison joins that SMALL frame to itself (AQE broadcast) — events never self-join"),
+    ("image_rotation_dups", "rotation-blind dedup: 8 DCTs/image ride ONE MapInPandas decode pass; the groupBy on the 8-byte orbit key is map-side combined — pixels never shuffle"),
+    ("spatial_isolated_points", "isolation audit: tile projection, 9-offset codegen dilation on one side, self-equi-join on the tile key, WindowGroupLimit min pick, left join back — fan-out bounded by local density"),
+    ("corpus_mixture_census", "mixture census: token+langid kernels ride the scan as one projection; ONE combined groupBy to the tiny census frame; the permille window runs over that frame, not the corpus"),
 ]
 
 
