@@ -1610,6 +1610,7 @@ def isolated_points(
     zoom: int,
     *,
     halo: int = 1,
+    max_per_tile: int | None = None,
     point_id_col: str = "point_id",
 ) -> DataFrame:
     """Spatial isolation / outlier audit: for every point, its nearest
@@ -1632,11 +1633,23 @@ def isolated_points(
     with id tie-break; ``nn_dist_q = dx² + dy²`` exactly (no scaling
     needed — point distances carry no denominator).
 
+    ``max_per_tile`` is the density guard (colocation-style, explicit
+    rather than hoped-for): a tile holding more than the cap GUARANTEES
+    every member an in-tile neighbor, so its members resolve trivially
+    (``nn_id = -2``, ``nn_dist_q = -1``, ``isolated = false`` — "dense
+    tile, neighbor certain, identity not computed") and are excluded
+    from BOTH sides of the candidate join. Without it, one stadium/
+    hotspot cell quadratic-blows the join at web scale; with it, the
+    join is linear in sub-cap density, and sparse points' answers are
+    "nearest among sub-cap-tile points" (the dense remainder could only
+    have answered a question the cap already answered). ``None`` (the
+    default, and the gate contract) keeps the exact semantics.
+
     Plan at 10^12 points: tile both sides (projection), explode ONE side
     by the (2*halo+1)² offsets (codegen), self-equi-join on the tile
     key, min-by per point via one WindowGroupLimit exchange, left join
     back for the isolated remainder. Shuffles carry (id, tile, two
-    int64s); AQE splits dense-tile skew.
+    int64s); AQE splits sub-cap skew.
     """
     from pyspark.sql import Window as W
 
@@ -1650,6 +1663,24 @@ def isolated_points(
         F.col("px").cast("long").alias("px"),
         F.col("py").cast("long").alias("py"),
     )
+    dense_rows = None
+    if max_per_tile is not None:
+        if max_per_tile < 2:
+            raise ValueError(
+                f"max_per_tile must be >= 2 (or None), got {max_per_tile}"
+            )
+        wt = W.partitionBy("tx", "ty")
+        tiled = tiled.withColumn("_tn", F.count(F.lit(1)).over(wt))
+        dense_rows = (
+            tiled.where(F.col("_tn") > max_per_tile)
+            .select(
+                F.col("pid").alias(point_id_col),
+                F.lit(-2).cast("long").alias("nn_id"),
+                F.lit(-1).cast("long").alias("nn_dist_q"),
+                F.lit(False).alias("isolated"),
+            )
+        )
+        tiled = tiled.where(F.col("_tn") <= max_per_tile).drop("_tn")
     offs = [(dx, dy) for dx in range(-halo, halo + 1) for dy in range(-halo, halo + 1)]
     off_df = tiled.sparkSession.createDataFrame(offs, "dx int, dy int")
     probe = (
@@ -1676,7 +1707,7 @@ def isolated_points(
         .where(F.col("rk") == 1)
         .select("pid", F.col("nid").alias("nn_id"), F.col("d2").alias("nn_dist_q"))
     )
-    return (
+    out = (
         tiled.select("pid")
         .join(nearest, "pid", "left")
         .select(
@@ -1686,3 +1717,6 @@ def isolated_points(
             F.col("nn_id").isNull().alias("isolated"),
         )
     )
+    if dense_rows is not None:
+        out = out.unionByName(dense_rows)
+    return out

@@ -125,6 +125,40 @@ def main() -> int:
     }
     print("knn_k5", results["knn_k5"])
 
+    # --- round-5 bounded-radius ops: map matching + isolation audit ---
+    from fairy_core_spark.spatial.ops import isolated_points, snap_points_to_segments
+
+    # road-scale (short) segments — the broadcast seg-tile design targets
+    # roads, not continent-length lines; 5000 segments ~0.1-0.4 deg long
+    n_segs = 5_000
+    segs = spark.range(1, n_segs + 1).select(
+        F.col("id").alias("seg_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat0"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon0"),
+    ).select(
+        "seg_id", "lat0", "lon0",
+        (F.col("lat0") + ((F.col("seg_id") % 8) + 1) / 20.0).alias("lat1"),
+        (F.col("lon0") + ((F.col("seg_id") % 5) + 1) / 20.0).alias("lon1"),
+    ).select(
+        "seg_id", "lat0", "lon0", "lat1", "lon1",
+        F.round(F.col("lon0") * 1000).cast("long").alias("ax"),
+        F.round(F.col("lat0") * 1000).cast("long").alias("ay"),
+        F.round(F.col("lon1") * 1000).cast("long").alias("bx"),
+        F.round(F.col("lat1") * 1000).cast("long").alias("by"),
+    ).cache()
+    segs.count()
+    pts_i = pts.select(
+        F.col("pid").alias("point_id"), "lat", "lon",
+        F.round(F.col("lon") * 1000).cast("long").alias("px"),
+        F.round(F.col("lat") * 1000).cast("long").alias("py"),
+    ).cache()
+    pts_i.count()
+    run("map_match_z8", lambda: snap_points_to_segments(pts_i, segs, 8))
+    run(
+        "isolated_points_z9_cap64",
+        lambda: isolated_points(pts_i, 9, max_per_tile=64),
+    )
+
     print(json.dumps({"n_points": n, "results": results}, sort_keys=True))
     return 0
 

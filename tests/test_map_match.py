@@ -167,3 +167,33 @@ def test_isolated_points_matches_brute_force(spark):
     assert got == want
     assert any(v[2] for v in want.values())      # fixture has isolated points
     assert any(not v[2] for v in want.values())  # and neighbored ones
+
+
+def test_isolated_points_density_cap(spark):
+    """max_per_tile: over-cap tile members resolve trivially (-2 sentinel,
+    not isolated) and leave the candidate pool entirely; sub-cap points
+    keep exact answers among the remaining pool; cap=None is unchanged."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import isolated_points
+
+    # 5 points stacked in one spot (dense tile) + 2 neighbors elsewhere
+    rows = [(i, 10.0, 10.0, 10000 + i, 10000) for i in range(5)]
+    rows += [(10, 10.4, 10.4, 10400, 10400), (11, 10.45, 10.4, 10400, 10450)]
+    pts = spark.createDataFrame(
+        rows, "point_id long, lat double, lon double, px long, py long"
+    )
+    got = {
+        r["point_id"]: (r["nn_id"], r["nn_dist_q"], r["isolated"])
+        for r in isolated_points(pts, 11, max_per_tile=3).collect()
+    }
+    for i in range(5):
+        assert got[i] == (-2, -1, False)
+    # the pair still answers exactly: d2 = 50^2
+    assert got[10] == (11, 2500, False) and got[11] == (10, 2500, False)
+
+    exact = {
+        r["point_id"]: r["nn_id"]
+        for r in isolated_points(pts, 11).collect()
+    }
+    assert exact[0] == 1  # cap=None keeps the exact per-point identity
