@@ -168,3 +168,59 @@ def clustering_depth_sql(
            CAST(COUNT(*) / 2 AS BIGINT) AS n_files
     FROM swept {grp}
     """
+
+
+def expire_snapshots_plan(
+    snapshots: DataFrame,
+    *,
+    keep_last: int = 5,
+    keep_daily_days: int = 30,
+    id_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+) -> DataFrame:
+    """Snapshot-retention planning (the Iceberg ``expireSnapshots``
+    decision, computed as data BEFORE anything is deleted): every
+    snapshot labeled with a first-match reason —
+
+    - ``recent``: one of the newest ``keep_last`` snapshots (by
+      (committed_at, id) DESC — id breaks commit-time ties);
+    - ``daily``: the LAST snapshot of its calendar day, for days within
+      ``keep_daily_days`` days of the newest snapshot's day;
+    - ``expire``: everything else (safe to remove together with any
+      data files only they reference).
+
+    Pure window/date integer logic over the snapshot LOG (metadata
+    cardinality — hundreds of rows for years of history), so the plan
+    costs nothing at any table scale and is engine-portable: recency
+    rank, per-day rank and the day-diff are all exact.
+
+    Output: (id, committed day DATE, reason).
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if keep_daily_days < 0:
+        raise ValueError(f"keep_daily_days must be >= 0, got {keep_daily_days}")
+    day = F.to_date(F.col(ts_col))
+    base = snapshots.select(
+        F.col(id_col).alias("snapshot_id"), day.alias("day")
+    )
+    w_recent = Window.orderBy(F.col("day").desc(), F.col("snapshot_id").desc())
+    w_day = Window.partitionBy("day").orderBy(F.col("snapshot_id").desc())
+    w_all = Window.partitionBy()
+    labeled = base.select(
+        "snapshot_id",
+        "day",
+        F.row_number().over(w_recent).alias("_rec"),
+        F.row_number().over(w_day).alias("_dayrk"),
+        F.max("day").over(w_all).alias("_maxday"),
+    )
+    reason = (
+        F.when(F.col("_rec") <= keep_last, "recent")
+        .when(
+            (F.col("_dayrk") == 1)
+            & (F.datediff(F.col("_maxday"), F.col("day")) < keep_daily_days),
+            "daily",
+        )
+        .otherwise("expire")
+    )
+    return labeled.select("snapshot_id", "day", reason.alias("reason"))

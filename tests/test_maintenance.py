@@ -150,3 +150,35 @@ def test_clustering_depth_vs_bruteforce(spark):
     )
     row = clustering_depth(flat).collect()[0]
     assert (row["max_depth"], row["n_files"]) == (1, 20)
+
+
+def test_expire_snapshots_plan_reasons(spark):
+    """first-match retention: newest keep_last are 'recent' (id breaks
+    same-day ties), last-of-day within the horizon is 'daily', the rest
+    expire; horizon measured from the NEWEST snapshot's day."""
+    import datetime as dt
+
+    from fairy_core_spark.operators.maintenance import expire_snapshots_plan
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1)), (2, d(2024, 1, 1)),   # old day, two commits
+        (3, d(2024, 1, 20)),
+        (4, d(2024, 2, 5)), (5, d(2024, 2, 5)),
+        (6, d(2024, 2, 6)),
+    ]
+    snaps = spark.createDataFrame(rows, "snapshot_id long, committed_at date")
+    got = {
+        r["snapshot_id"]: r["reason"]
+        for r in expire_snapshots_plan(
+            snaps, keep_last=2, keep_daily_days=30
+        ).collect()
+    }
+    # recency order: (2/6 id6), (2/5 id5) -> recent; id4 same day as 5 but
+    # rank 3 -> falls to daily test: dayrk 2 -> NOT last-of-day -> expire
+    assert got[6] == "recent" and got[5] == "recent"
+    assert got[4] == "expire"
+    # 1/20 within 30 days of 2/6 and last of its day -> daily
+    assert got[3] == "daily"
+    # 1/1 is 36 days before 2/6 -> outside horizon -> expire (both)
+    assert got[1] == "expire" and got[2] == "expire"
