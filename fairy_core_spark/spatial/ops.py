@@ -1488,6 +1488,7 @@ def snap_points_to_segments(
     *,
     halo: int = 1,
     scale_bits: int = 20,
+    with_progress: bool = False,
     point_id_col: str = "point_id",
     seg_id_col: str = "seg_id",
 ) -> DataFrame:
@@ -1526,7 +1527,9 @@ def snap_points_to_segments(
     map-side. Points that hit no dilated road tile drop out (bounded
     radius); no cross join anywhere.
 
-    Output: (point_id, seg_id, dist_q) — one row per matched point.
+    Output: (point_id, seg_id, dist_q) — one row per matched point;
+    ``with_progress=True`` appends ``progress_permille`` (exact integer
+    linear-referencing position of the snap along the segment).
     """
     from pyspark.sql import Window as W
 
@@ -1598,11 +1601,23 @@ def snap_points_to_segments(
         )
     )
     w = W.partitionBy(point_id_col).orderBy("dist_q", seg_id_col)
-    return (
-        q.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(point_id_col, seg_id_col, F.col("dist_q").cast("long").alias("dist_q"))
-    )
+    picked = q.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    cols = [point_id_col, seg_id_col, F.col("dist_q").cast("long").alias("dist_q")]
+    if with_progress:
+        # linear referencing: how far along the matched segment the snap
+        # lands, as exact integer permille of the segment's parameter —
+        # clamp(tnum, 0, l2) * 1000 div l2 (degenerate segments -> 0)
+        tcl = F.greatest(F.lit(0), F.least(F.col("tnum"), F.col("l2")))
+        picked = picked.withColumn(
+            "_tc", tcl.cast("decimal(38,0)") * F.lit(1000)
+        ).withColumn(
+            "progress_permille",
+            F.when(F.col("l2") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("_tc div CAST(l2 AS DECIMAL(38,0))")
+            ),
+        )
+        cols.append(F.col("progress_permille").cast("long").alias("progress_permille"))
+    return picked.select(*cols)
 
 
 def isolated_points(
