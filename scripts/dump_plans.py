@@ -95,6 +95,10 @@ SHOWCASE = [
     ("image_rotation_dups", "rotation-blind dedup: 8 DCTs/image ride ONE MapInPandas decode pass; the groupBy on the 8-byte orbit key is map-side combined — pixels never shuffle"),
     ("spatial_isolated_points", "isolation audit: tile projection, 9-offset codegen dilation on one side, self-equi-join on the tile key, WindowGroupLimit min pick, left join back — fan-out bounded by local density"),
     ("corpus_mixture_census", "mixture census: token+langid kernels ride the scan as one projection; ONE combined groupBy to the tiny census frame; the permille window runs over that frame, not the corpus"),
+    ("maintenance_snapshot_expiry", "snapshot retention: pure window/date logic over the metadata-cardinality snapshot log — the single-partition recency window is free by construction, no table data touched"),
+    ("spatial_coverage_gap", "coverage holes: data collapses to the DISTINCT occupied-tile frame first; zone rectangles enumerate via codegen sequence/explode bounded by zone area; the anti-join is tile-frame-sized both sides"),
+    ("agg_cube_returnflag_status", "CUBE: one Expand + map-side-combined partial agg produces all four granularities in a single scan — never four passes"),
+    ("agg_segment_percentiles", "exact group percentiles: rank + count windows share ONE segment-key exchange; the rank-selection groupBy combines map-side — no global sort anywhere"),
 ]
 
 
