@@ -197,3 +197,47 @@ def test_isolated_points_density_cap(spark):
         for r in isolated_points(pts, 11).collect()
     }
     assert exact[0] == 1  # cap=None keeps the exact per-point identity
+
+
+def test_new_ops_plan_shapes(spark):
+    """physical-plan contracts for the session's bounded-radius ops:
+    map matching joins via BROADCAST (road side) with the per-point
+    top-1 planned as WindowGroupLimit; no cartesian product anywhere;
+    resampling plans with exactly ONE shuffle exchange."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import snap_points_to_segments
+    from fairy_core_spark.spatial.trajectory import resample_tracks
+
+    segs = spark.range(1, 50).select(
+        F.col("id").alias("seg_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat0"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon0"),
+        (((F.col("id") * 104729) % 120000) / 1000.0 - 60.0).alias("lat1"),
+        (((F.col("id") * 7919) % 360000) / 1000.0 - 180.0).alias("lon1"),
+        F.lit(0).cast("long").alias("ax"), F.lit(0).cast("long").alias("ay"),
+        F.lit(1).cast("long").alias("bx"), F.lit(1).cast("long").alias("by"),
+    )
+    pts = spark.range(1, 200).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 6151) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 92821) % 360000) / 1000.0 - 180.0).alias("lon"),
+        F.lit(2).cast("long").alias("px"), F.lit(2).cast("long").alias("py"),
+    )
+    snap = snap_points_to_segments(pts, segs, 6)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    import datetime as dt
+
+    tracks = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), 1, 0, 0),
+         ("u", dt.datetime(2024, 1, 1, 0, 0, 30), 2, 100, 100)],
+        "user_id string, ts timestamp, event_id long, px long, py long",
+    )
+    rs = resample_tracks(tracks, interval_us=1_000_000)
+    rplan = rs._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("Exchange") == 1, rplan  # the one entity window
+    assert "Python" not in rplan, rplan         # pure codegen after it
