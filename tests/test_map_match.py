@@ -241,3 +241,56 @@ def test_new_ops_plan_shapes(spark):
     rplan = rs._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("Exchange") == 1, rplan  # the one entity window
     assert "Python" not in rplan, rplan         # pure codegen after it
+
+
+def test_streaming_map_match_foreachbatch_parity(spark, tmp_path):
+    """live GPS snap: the window-bearing snap runs per micro-batch via
+    foreachBatch against static (broadcast) roads — each batch's matches
+    are byte-equal to running the batch operator on the same rows (the
+    per-point top-1 needs no cross-batch state: a point appears once)."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.spatial.ops import snap_points_to_segments
+
+    segs = spark.range(1, 40).select(
+        F.col("id").alias("seg_id"),
+        (((F.col("id") * 7919) % 120000) / 1000.0 - 60.0).alias("lat0"),
+        (((F.col("id") * 104729) % 360000) / 1000.0 - 180.0).alias("lon0"),
+        (((F.col("id") * 104729) % 120000) / 1000.0 - 60.0).alias("lat1"),
+        (((F.col("id") * 7919) % 360000) / 1000.0 - 180.0).alias("lon1"),
+        ((F.col("id") * 104729) % 360000 - 180000).cast("long").alias("ax"),
+        ((F.col("id") * 7919) % 120000 - 60000).cast("long").alias("ay"),
+        ((F.col("id") * 7919) % 360000 - 180000).cast("long").alias("bx"),
+        ((F.col("id") * 104729) % 120000 - 60000).cast("long").alias("by"),
+    ).cache()
+    pts = spark.range(1, 300).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 6151) % 120000) / 1000.0 - 60.0).alias("lat"),
+        (((F.col("id") * 92821) % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 92821) % 360000 - 180000).cast("long").alias("px"),
+        ((F.col("id") * 6151) % 120000 - 60000).cast("long").alias("py"),
+    )
+    src = tmp_path / "pts"
+    pts.repartition(3).write.parquet(str(src))
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r["point_id"], r["seg_id"], r["dist_q"])
+            for r in snap_points_to_segments(batch_df, segs, 6).collect()
+        )
+
+    stream = spark.readStream.schema(pts.schema).format("parquet").load(str(src))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r["point_id"], r["seg_id"], r["dist_q"])
+        for r in snap_points_to_segments(pts, segs, 6).collect()
+    )
+    assert sorted(got) == want and len(want) > 50
