@@ -455,3 +455,43 @@ class VersionedParquetDirCatalog(IcebergLikeCatalog):
                         {"path": os.path.relpath(p, data_dir), "bytes": os.path.getsize(p)}
                     )
         return sorted(out, key=lambda r: r["path"])
+
+    def orphan_files(
+        self, name: str, keep_snapshot_ids: set[str] | None = None
+    ) -> list[str]:
+        """The ``deleteOrphanFiles`` decision as data: every path under
+        the table directory that NO kept snapshot references — version
+        dirs dropped by retention (pass the ids ``expire_snapshots_plan``
+        labeled recent/daily), plus stray files a crashed writer left
+        outside any version dir. Catalog metadata (`_snapshot.json`,
+        `_snapshot_log.json`) is never orphaned. Default (``None``)
+        keeps every logged snapshot — then only stray files surface.
+        Metadata-only (one directory walk); the caller deletes, this
+        only plans — same contract as the other maintenance planners.
+        Paths are relative to the table dir, sorted."""
+        log = self.history(name)
+        if not log:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        kept_dirs = {
+            e["dir"]
+            for e in log
+            if keep_snapshot_ids is None or e["snapshot_id"] in keep_snapshot_ids
+        }
+        meta = {"_snapshot.json", "_snapshot_log.json"}
+        d = self._dir(name)
+        out = []
+        for root, _dirs, fns in os.walk(d):
+            for fn in fns:
+                rel = os.path.relpath(os.path.join(root, fn), d)
+                top = rel.split(os.sep, 1)[0]
+                if rel in meta:
+                    continue
+                if top in kept_dirs:
+                    # inside a LIVE version dir only the table's actual
+                    # members are referenced — writer debris (temp chunks
+                    # from a crashed attempt) is orphaned even here, the
+                    # file-level semantics real manifest-based cleanup has
+                    if fn.endswith(".parquet") or fn == "_SUCCESS" or fn.endswith(".crc"):
+                        continue
+                out.append(rel)
+        return sorted(out)

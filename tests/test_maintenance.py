@@ -182,3 +182,35 @@ def test_expire_snapshots_plan_reasons(spark):
     assert got[3] == "daily"
     # 1/1 is 36 days before 2/6 -> outside horizon -> expire (both)
     assert got[1] == "expire" and got[2] == "expire"
+
+
+def test_orphan_files_plan(spark, tmp_path):
+    """deleteOrphanFiles analog: version dirs outside the kept snapshot
+    set + stray writer debris surface; kept dirs and catalog metadata
+    never do; default keeps every logged snapshot."""
+    from pyspark.sql import functions as F
+
+    from fairy_core_spark.sources.tables import VersionedParquetDirCatalog
+
+    cat = VersionedParquetDirCatalog(str(tmp_path))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    s0 = cat.write(df, "t")
+    s1 = cat.write(df.withColumn("k", F.col("k") + 1), "t")
+    s2 = cat.write(df.withColumn("k", F.col("k") + 2), "t")
+    # crashed-writer debris
+    stray = tmp_path / "t" / "data-v1" / "_temporary_chunk"
+    stray.write_text("junk")
+    top_stray = tmp_path / "t" / "leftover.tmp"
+    top_stray.write_text("junk")
+
+    # keep only the newest snapshot: v0 + v1 files orphan, incl. the stray
+    got = cat.orphan_files("t", {s2["snapshot_id"]})
+    assert "leftover.tmp" in got
+    assert any(p.startswith("data-v0/") for p in got)
+    assert any(p == "data-v1/_temporary_chunk" for p in got)
+    assert not any(p.startswith("data-v2/") for p in got)
+    assert not any(p.endswith("_snapshot.json") for p in got)
+
+    # default: all logged snapshots kept -> only true strays
+    got_all = cat.orphan_files("t")
+    assert got_all == ["data-v1/_temporary_chunk", "leftover.tmp"]
