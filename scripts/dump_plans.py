@@ -99,6 +99,11 @@ SHOWCASE = [
     ("spatial_coverage_gap", "coverage holes: data collapses to the DISTINCT occupied-tile frame first; zone rectangles enumerate via codegen sequence/explode bounded by zone area; the anti-join is tile-frame-sized both sides"),
     ("agg_cube_returnflag_status", "CUBE: one Expand + map-side-combined partial agg produces all four granularities in a single scan — never four passes"),
     ("agg_segment_percentiles", "exact group percentiles: rank + count windows share ONE segment-key exchange; the rank-selection groupBy combines map-side — no global sort anywhere"),
+    ("traj_trips", "trip segmentation: lag window, running-sum trip ids, first/last windows AND the closing groupBy all ride ONE entity exchange; integer end-to-end"),
+    ("q10_returned_items", "Q10: 'R' filter pushed to the fact scan, ONE combined groupBy on custkey, dimensions broadcast, WindowGroupLimit top-20 — the canonical star-join report plan"),
+    ("ann_knn_classify", "kNN classify: the small top-k frame broadcasts into the label join; vote groupBy combines map-side; one WindowGroupLimit pick per query"),
+    ("audit_order_total_consistency", "ledger reconciliation: one combined groupBy on the fact table shuffling a single int64 per order, key join to orders, 1-row summary — no decimals, no floats on the wire"),
+    ("spatial_tile_gini", "Gini: points collapse to the occupied-tile frame; the rank window and the closed-form aggregate run over that tiny frame only"),
 ]
 
 
