@@ -294,3 +294,18 @@ def polygon_covering_cells(ring: np.ndarray, level: int) -> np.ndarray:
     cells = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     padded = np.unique(np.concatenate([cells, s2.neighbors(cells, level).ravel()]))
     return padded
+
+
+def point_in_polygon_with_holes(
+    lat: np.ndarray, lon: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Even-odd containment for a polygon WITH HOLES: XOR of the per-ring
+    ray casts — a point inside the outer ring and inside a hole has even
+    total crossings, so it is correctly outside (and an island ring
+    inside a hole flips it back in: full even-odd multi-ring semantics,
+    the GeoJSON polygon model). Rings in any order; each an (m,2)
+    lat/lon array, closed or open."""
+    out = np.zeros(len(np.asarray(lat)), dtype=bool)
+    for ring in rings:
+        out ^= point_in_ring(lat, lon, np.asarray(ring, dtype=np.float64))
+    return out

@@ -1735,3 +1735,40 @@ def isolated_points(
     if dense_rows is not None:
         out = out.unionByName(dense_rows)
     return out
+
+
+def annotate_in_polygon_with_holes(
+    df: DataFrame,
+    rings: list,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out: str = "in_zone",
+) -> DataFrame:
+    """Row-preserving containment flag against ONE polygon-with-holes
+    (outer ring + hole rings, the GeoJSON polygon model) via the
+    even-odd multi-ring kernel (functions/geometry.
+    point_in_polygon_with_holes) — donut zones (a coverage area minus an
+    exclusion) that a plain single-ring PIP cannot express. The ring
+    list broadcasts inside the Arrow closure; the flag is a zero-shuffle
+    projection, same plan shape as the PIP annotation hot path."""
+    import numpy as _np
+
+    from fairy_core_spark.functions.geometry import point_in_polygon_with_holes
+
+    ring_arrays = [_np.asarray(r, dtype=_np.float64) for r in rings]
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{in_schema}, {out} boolean"
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lat = pdf[lat_col].to_numpy(_np.float64)
+            lon = pdf[lon_col].to_numpy(_np.float64)
+            res = pdf.copy()
+            res[out] = point_in_polygon_with_holes(lat, lon, ring_arrays)
+            yield res
+
+    return df.mapInPandas(run, schema=schema)

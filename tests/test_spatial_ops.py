@@ -398,3 +398,20 @@ def test_cluster_cells_rejects_bad_min_points(spark):
     df = spark.createDataFrame([(1,)], "cell long")
     with _pytest.raises(ValueError, match="min_points"):
         cluster_cells(df, min_points=0)
+
+
+def test_pip_with_holes_island(spark):
+    """full even-odd multi-ring semantics: hole excludes, island inside
+    the hole flips back IN — beyond what outer-AND-NOT-hole expresses."""
+    import numpy as np
+
+    from fairy_core_spark.functions.geometry import point_in_polygon_with_holes
+
+    outer = np.array([[0, 0], [0, 12], [12, 12], [12, 0], [0, 0]], float)
+    hole = np.array([[2, 2], [2, 10], [10, 10], [10, 2], [2, 2]], float)
+    island = np.array([[4, 4], [4, 8], [8, 8], [8, 4], [4, 4]], float)
+    lat = np.array([1.0, 5.0, 3.0, 13.0])
+    lon = np.array([1.0, 5.0, 3.0, 5.0])
+    got = point_in_polygon_with_holes(lat, lon, [outer, hole, island])
+    # ring zone, island zone -> in; hole ring (between hole and island) -> out
+    assert got.tolist() == [True, True, False, False]
