@@ -471,3 +471,32 @@ def rotation_invariant_keys(images: DataFrame) -> DataFrame:
             yield pd.DataFrame({"image_id": ids, "dkey": pd.array(keys, dtype="int64")})
 
     return images.mapInPandas(run, schema=DIHEDRAL_KEYS_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = "image_id string, sum_r long, sum_g long, sum_b long"
+
+
+def channel_stats(images: DataFrame) -> DataFrame:
+    """(image_id, sum_r, sum_g, sum_b): exact integer per-channel value
+    sums in one Arrow decode pass — the inputs to color-cast detection
+    (a scanner with a failing sensor reddens everything; a dominant
+    channel far above its siblings flags it) and white-balance audits.
+    Undecodable rows drop (the validate stage owns them)."""
+    from fairy_core_spark.functions.image_codec import decode_image
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "sum_r", "sum_g", "sum_b")}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                except Exception:
+                    continue
+                v = px.astype(np.int64)
+                out["image_id"].append(iid)
+                out["sum_r"].append(int(v[..., 0].sum()))
+                out["sum_g"].append(int(v[..., 1].sum()))
+                out["sum_b"].append(int(v[..., 2].sum()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=CHANNEL_STATS_SCHEMA)
