@@ -104,6 +104,11 @@ SHOWCASE = [
     ("ann_knn_classify", "kNN classify: the small top-k frame broadcasts into the label join; vote groupBy combines map-side; one WindowGroupLimit pick per query"),
     ("audit_order_total_consistency", "ledger reconciliation: one combined groupBy on the fact table shuffling a single int64 per order, key join to orders, 1-row summary — no decimals, no floats on the wire"),
     ("spatial_tile_gini", "Gini: points collapse to the occupied-tile frame; the rank window and the closed-form aggregate run over that tiny frame only"),
+    ("spatial_voronoi_assign", "Voronoi: K facility sites broadcast into a nested-loop over points + WindowGroupLimit pick — points never shuffle against each other"),
+    ("image_consensus_near_dups", "consensus dedup: phash band self-join builds candidates once; two 8-byte alt-hash columns join by id; the 2-of-3 vote is a codegen filter — pixels nowhere"),
+    ("traj_radius_of_gyration", "gyration: ONE map-side-combined groupBy carries 5 DECIMAL partials per user; the closed form divides once — the centroid never exists as a float"),
+    ("corpus_incremental_dedup", "incremental dedup: corpus collapses to (16-byte hash, keeper) before the join; batch text never shuffles, old text never rescans"),
+    ("orders_ship_delay_percentiles", "SLA percentiles: rank + count windows share ONE priority-key exchange; per-class parallel sort, never global"),
 ]
 
 
